@@ -1,0 +1,212 @@
+"""Wall control functions P,Q for the Poisson smoothing equations.
+
+Reference parity: src/core/smoothing/wall_control_function.zig.
+
+- ``laplace``: P = Q = 0 everywhere.
+- ``white``: boundary-layer forcing on the two O-grid wall blocks
+  (reference hard-codes blocks[0..2] and connections[0] — the leading-edge
+  radial edge; we reproduce that scope for the O4H topology,
+  wall_control_function.zig:72,204,327,395):
+
+  * init: P,Q at each wall (j=0) point from one-sided/central second
+    differences ("eq. 6.10", wall_control_function.zig:101-102), decayed
+    linearly to 0 across j: cf(i,j) = (1 - j/(Nj-1)) * cf(i,0);
+  * update (each Picard iteration n>0): measured wall spacing ds = sqrt(g22)
+    and angle theta = acos(g12/sqrt(g11 g22)); feedback
+    dP = -atan2(dtheta, theta_t), dQ = atan2(dds, ds_t), relaxation 0.1,
+    accumulated into the wall row then re-decayed
+    (wall_control_function.zig:282-473).
+
+P,Q are stored per global point id, like the reference's flat cf array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Laplace:
+    def init(self, mesh) -> np.ndarray:
+        return np.zeros((mesh.num_points, 2), dtype=np.float64)
+
+    def update(self, cf: np.ndarray, mesh) -> None:
+        pass
+
+
+@dataclasses.dataclass
+class White:
+    ds_target: float
+    theta_target: float = 0.5 * math.pi
+
+    # -- helpers --------------------------------------------------------------
+
+    @staticmethod
+    def _pq_from_derivs(x_xi, y_xi, x_xi2, y_xi2, x_eta, y_eta, x_eta2, y_eta2):
+        g11 = x_xi * x_xi + y_xi * y_xi
+        g22 = x_eta * x_eta + y_eta * y_eta
+        # eq. 6.10 (wall_control_function.zig:101-102)
+        p = -(x_xi * x_xi2 + y_xi * y_xi2) / g11 - (x_xi * x_eta2 + y_xi * y_eta2) / g22
+        q = -(x_eta * x_eta2 + y_eta * y_eta2) / g22 - (x_eta * x_xi2 + y_eta * y_xi2) / g11
+        return p, q
+
+    @staticmethod
+    def _decay_fill(cf, start, nj, p, q):
+        """cf rows [start .. start+nj): wall value then linear decay in j."""
+        factor = 1.0 - np.arange(nj, dtype=np.float64) / (nj - 1.0)
+        cf[start : start + nj, 0] = factor * p
+        cf[start : start + nj, 1] = factor * q
+        # wall row (j=0) gets the undecayed value (factor[0] == 1)
+
+    def _wall_derivs(self, pts, i, order):
+        """First/second xi-derivatives along the wall (j=0 row) at index i
+        with the reference's one-sided/central scheme choice."""
+        x = pts[:, 0, 0]
+        y = pts[:, 0, 1]
+        if order == "forward":
+            x_xi = -x[i] + x[i + 1]
+            y_xi = -y[i] + y[i + 1]
+            x_xi2 = x[i] - 2 * x[i + 1] + x[i + 2]
+            y_xi2 = y[i] - 2 * y[i + 1] + y[i + 2]
+        elif order == "backward":
+            x_xi = x[i] - x[i - 1]
+            y_xi = y[i] - y[i - 1]
+            x_xi2 = x[i] - 2 * x[i - 1] + x[i - 2]
+            y_xi2 = y[i] - 2 * y[i - 1] + y[i - 2]
+        else:
+            x_xi = 0.5 * (x[i + 1] - x[i - 1])
+            y_xi = 0.5 * (y[i + 1] - y[i - 1])
+            x_xi2 = x[i + 1] - 2 * x[i] + x[i - 1]
+            y_xi2 = y[i + 1] - 2 * y[i] + y[i - 1]
+        return x_xi, y_xi, x_xi2, y_xi2
+
+    @staticmethod
+    def _eta_derivs(pts, i):
+        """Forward eta-derivatives off the wall at column i."""
+        x = pts[i, :, 0]
+        y = pts[i, :, 1]
+        x_eta = -x[0] + x[1]
+        y_eta = -y[0] + y[1]
+        x_eta2 = x[0] - 2 * x[1] + x[2]
+        y_eta2 = y[0] - 2 * y[1] + y[2]
+        return x_eta, y_eta, x_eta2, y_eta2
+
+    # -- init (wall_control_function.zig:70-280) ------------------------------
+
+    def init(self, mesh) -> np.ndarray:
+        cf = np.zeros((mesh.num_points, 2), dtype=np.float64)
+        starts = mesh.block_row_starts()
+
+        for b in range(2):  # hard-coded wall blocks 0..1 (blade_up/blade_down)
+            pts = mesh.blocks[b].points
+            ni, nj = mesh.blocks[b].size
+            base = starts[b]
+            for i in range(ni):
+                order = "forward" if i == 0 else ("backward" if i == ni - 1 else "central")
+                x_xi, y_xi, x_xi2, y_xi2 = self._wall_derivs(pts, i, order)
+                x_eta, y_eta, x_eta2, y_eta2 = self._eta_derivs(pts, i)
+                p, q = self._pq_from_derivs(x_xi, y_xi, x_xi2, y_xi2,
+                                            x_eta, y_eta, x_eta2, y_eta2)
+                self._decay_fill(cf, base + i * nj, nj, p, q)
+
+        self._le_connection_init(cf, mesh)
+        return cf
+
+    def _le_connection_pq(self, mesh, second_order: bool):
+        """P,Q at the leading-edge junction of connection 0 (blade_up j_min
+        <-> blade_down j_min), using both blocks' data
+        (wall_control_function.zig:203-279, 393-450)."""
+        b0 = mesh.blocks[0].points
+        b1 = mesh.blocks[1].points
+        nj = mesh.blocks[0].size[1]
+        # connection 0: both ranges side J_MIN starting at 0 ->
+        # first_internal_point_shift = nj for both; in-connection shift = 1
+        p0 = b0.reshape(-1, 2)
+        p1 = b1.reshape(-1, 2)
+        x_i_j = p0[0]
+        x_ip1_j = p0[nj]       # first interior of block 0
+        x_im1_j = p1[nj]       # first interior of block 1
+        x_i_jp1 = p0[1]        # next point along the connection
+        x_i_jp2 = p0[2]
+
+        if second_order:
+            x_xi = 0.5 * (x_ip1_j[0] - x_im1_j[0])
+            y_xi = 0.5 * (x_ip1_j[1] - x_im1_j[1])
+            x_xi2 = x_ip1_j[0] - 2 * x_i_j[0] + x_im1_j[0]
+            y_xi2 = x_ip1_j[1] - 2 * x_i_j[1] + x_im1_j[1]
+            x_eta = -x_i_j[0] + x_i_jp1[0]
+            y_eta = -x_i_j[1] + x_i_jp1[1]
+            x_eta2 = x_i_j[0] - 2 * x_i_jp1[0] + x_i_jp2[0]
+            y_eta2 = x_i_j[1] - 2 * x_i_jp1[1] + x_i_jp2[1]
+            return self._pq_from_derivs(x_xi, y_xi, x_xi2, y_xi2,
+                                        x_eta, y_eta, x_eta2, y_eta2)
+        else:
+            # update path: first derivatives only, with the reference's
+            # negated central difference (wall_control_function.zig:429-431)
+            x_xi = -0.5 * (x_ip1_j[0] - x_im1_j[0])
+            y_xi = -0.5 * (x_ip1_j[1] - x_im1_j[1])
+            x_eta = -x_i_j[0] + x_i_jp1[0]
+            y_eta = -x_i_j[1] + x_i_jp1[1]
+            return x_xi, y_xi, x_eta, y_eta
+
+    def _le_connection_init(self, cf, mesh):
+        p, q = self._le_connection_pq(mesh, second_order=True)
+        nj = mesh.blocks[0].size[1]
+        self._decay_fill(cf, 0, nj, p, q)
+
+    # -- update (wall_control_function.zig:282-473) ---------------------------
+
+    def _feedback(self, p, q, x_xi, y_xi, x_eta, y_eta):
+        g11 = x_xi * x_xi + y_xi * y_xi
+        g12 = x_xi * x_eta + y_xi * y_eta
+        g22 = x_eta * x_eta + y_eta * y_eta
+        ds = math.sqrt(g22)
+        theta = math.acos(g12 / math.sqrt(g11 * g22))
+        delta_p = -math.atan2(self.theta_target - theta, self.theta_target)
+        delta_q = math.atan2(self.ds_target - ds, self.ds_target)
+        return p + 0.1 * delta_p, q + 0.1 * delta_q
+
+    def update(self, cf: np.ndarray, mesh) -> None:
+        starts = mesh.block_row_starts()
+        for b in range(2):
+            pts = mesh.blocks[b].points
+            ni, nj = mesh.blocks[b].size
+            base = starts[b]
+            for i in range(ni):
+                order = "forward" if i == 0 else ("backward" if i == ni - 1 else "central")
+                x_xi, y_xi, _, _ = self._wall_derivs(pts, i, order)
+                x = pts[i, :, 0]
+                y = pts[i, :, 1]
+                x_eta = -x[0] + x[1]
+                y_eta = -y[0] + y[1]
+                p, q = cf[base + i * nj]
+                p, q = self._feedback(p, q, x_xi, y_xi, x_eta, y_eta)
+                self._decay_fill(cf, base + i * nj, nj, p, q)
+
+        # leading-edge connection update (block 0 column 0)
+        x_xi, y_xi, x_eta, y_eta = self._le_connection_pq(mesh, second_order=False)
+        p, q = cf[0]
+        p, q = self._feedback(p, q, x_xi, y_xi, x_eta, y_eta)
+        nj = mesh.blocks[0].size[1]
+        self._decay_fill(cf, 0, nj, p, q)
+
+
+def from_config(cfg) -> Laplace | White:
+    """Tagged-union config: "laplace" or {"white": {"ds_target": ..}}."""
+    if cfg in ("laplace", None) or cfg == {"laplace": {}}:
+        return Laplace()
+    if isinstance(cfg, dict):
+        (tag, params), = cfg.items()
+        if tag == "laplace":
+            return Laplace()
+        if tag == "white":
+            out = White(ds_target=params["ds_target"])
+            if "theta_target" in params:
+                out.theta_target = params["theta_target"]
+            return out
+    if isinstance(cfg, (Laplace, White)):
+        return cfg
+    raise ValueError(f"unknown wall control function {cfg!r}")
