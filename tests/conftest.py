@@ -11,4 +11,6 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# sitecustomize pins JAX_PLATFORMS=axon (TPU); force CPU for the test mesh
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

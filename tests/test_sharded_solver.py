@@ -1,0 +1,79 @@
+"""Multi-device (shard_map) smoother vs single-device/oracle parity on the
+virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from turbomesh_tpu.mesh import Mesh, Block2d
+from turbomesh_tpu.boundary import Side, Range, Connection, Condition, BCKind
+from turbomesh_tpu.clustering import Uniform
+from turbomesh_tpu.smoothing.classify import classify
+from turbomesh_tpu.smoothing.system import SparseSystem
+from turbomesh_tpu.parallel import ShardedSmoother
+from turbomesh_tpu.smoothing.control_function import Laplace
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+
+
+def _uniform_block(n, m, x0=0.0, distort=0.0, seed=0):
+    u = x0 + Uniform()(n)
+    v = Uniform()(m)
+    pts = np.stack(np.meshgrid(u, v, indexing="ij"), axis=-1)
+    if distort:
+        rng = np.random.default_rng(seed)
+        pts[1:-1, 1:-1] += distort * rng.standard_normal(pts[1:-1, 1:-1].shape)
+    return Block2d(points=pts)
+
+
+def _compare(mesh, n_devices, picard_iters=2, atol=1e-9):
+    info = classify(mesh)
+    oracle = SparseSystem(mesh, info)
+    sharded = ShardedSmoother(mesh, info, n_devices=n_devices)
+    cf = Laplace().init(mesh)
+
+    co = mesh.flat_coords()
+    cs = co.copy()
+    for _ in range(picard_iters):
+        co = oracle.solve(co, cf)
+        cs = sharded.solve(cs, cf)
+        err = np.abs(co - cs).max()
+        assert err < atol, f"sharded vs oracle mismatch {err:.3e}"
+
+
+def test_two_blocks_two_devices():
+    mesh = Mesh()
+    mesh.add_block("left", _uniform_block(7, 5, distort=0.03))
+    mesh.add_block("right", _uniform_block(7, 5, x0=1.0, distort=0.03, seed=5))
+    mesh.connections.append(
+        Connection((Range(0, Side.J_MAX, 0, 4), Range(1, Side.J_MIN, 0, 4)))
+    )
+    mesh.blocks[1].points[0, :, :] = mesh.blocks[0].points[-1, :, :]
+    _compare(mesh, n_devices=2)
+
+
+def test_o4h_eight_devices():
+    """Full 8-block O4H (junctions, periodic, sliding) on 8 devices."""
+    from turbomesh_tpu import input as input_mod
+
+    cfg = {
+        "template": {"O4H": {
+            "inlet_distance": 0.05, "outlet_distance": 0.02,
+            "blade_clustering": {"roberts": {"alpha": 0.5, "beta": 1.1}},
+            "num_cells": {
+                "o_grid": 6, "middle_i": 12, "in_up_j": 6, "in_down_j": 5,
+                "in_i": 5, "out_up_j": 6, "out_down_j": 5, "out_i": 5,
+                "down_j": 6, "bulge": 6, "upstream_i": 5, "downstream_i": 5,
+            },
+        }},
+        "smoothing": {"iterations": 2, "solver": "direct"},
+        "geometry": {"pitch": 0.08836,
+                     "profile": {"csv": {
+                         "down_csv_path": "examples/T106/T106_ps.dat",
+                         "up_csv_path": "examples/T106/T106_ss.dat"}}},
+    }
+    inp = input_mod.load(cfg, base_dir="/root/reference")
+    mesh = inp.template.run(inp.geometry)
+    _compare(mesh, n_devices=min(8, len(jax.devices())), atol=1e-8)

@@ -60,6 +60,11 @@ class DevicePlan:
     c_pi: np.ndarray             # (C, 2) periodicity (0 for non-periodic)
     c_swap_pq: np.ndarray        # (C,) bool: True -> (P,Q) = (cf.y, cf.x)
 
+    # per-connection segmentation of the c_* arrays (for the chain
+    # tridiagonal preconditioner): indices into the C-length flat arrays
+    c_seg: np.ndarray            # (S, Lmax) int64
+    c_seg_valid: np.ndarray      # (S, Lmax) bool
+
     # junction rows, padded to width K
     l_row: np.ndarray            # (L,) padded idx of the master
     l_stencil: np.ndarray        # (L, K) padded idx (self included)
@@ -130,6 +135,18 @@ def build_plan(mesh, info: BoundaryInfo) -> DevicePlan:
         cpi.append(np.broadcast_to(pi, (len(g0), 2)))
         cswap.append(np.full(len(g0), cm.periodicity is None))
 
+    # segment table: one row per connection chain in the concatenated arrays
+    seg_lens = [len(x) for x in cr]
+    S = len(seg_lens)
+    Lmax = max(seg_lens, default=1)
+    c_seg = np.zeros((max(S, 1), Lmax), dtype=np.int64)
+    c_seg_valid = np.zeros((max(S, 1), Lmax), dtype=bool)
+    off = 0
+    for s, ln in enumerate(seg_lens):
+        c_seg[s, :ln] = off + np.arange(ln)
+        c_seg_valid[s, :ln] = True
+        off += ln
+
     def cat(parts, dtype=np.int64, width=None):
         if parts:
             return np.concatenate(parts).astype(dtype)
@@ -161,6 +178,7 @@ def build_plan(mesh, info: BoundaryInfo) -> DevicePlan:
         c_d0m=cat(cd0m), c_d0p=cat(cd0p), c_d1m=cat(cd1m), c_d1p=cat(cd1p),
         c_pi=cat(cpi, dtype=np.float64, width=2).reshape(-1, 2),
         c_swap_pq=cat(cswap, dtype=bool),
+        c_seg=c_seg, c_seg_valid=c_seg_valid,
         l_row=l_row, l_stencil=l_stencil, l_weight=l_weight, l_rhs=l_rhs,
         s_row=to_pad(info.sliding_ids) if len(info.sliding_ids) else np.empty(0, np.int64),
         s_nb=to_pad(info.sliding_neighbor_ids) if len(info.sliding_ids) else np.empty(0, np.int64),
@@ -243,32 +261,68 @@ class DeviceSmoother:
 
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-12, atol: float = 1e-14,
-                 max_iters: int = 20000):
+                 restart: int = 30, max_restarts: int = 400,
+                 max_iters: int | None = None):
         self.plan = build_plan(mesh, info)
+        self._mesh = mesh
+        self._info = info
+        self._oracle = None
         self.rtol = rtol
         self.atol = atol
-        self.max_iters = max_iters
+        self.restart = restart
+        if max_iters is not None:  # backwards-compat alias
+            max_restarts = max(1, max_iters // restart)
+        self.max_restarts = max_restarts
         p = self.plan
+
+        def _as_dev(x):
+            x = np.asarray(x)
+            if x.dtype == np.int64:
+                x = x.astype(np.int32)
+            return jnp.asarray(x)
+
         self._jnp_plan = jax.tree.map(
-            jnp.asarray,
+            _as_dev,
             dict(
                 scatter_idx=p.scatter_idx,
                 interior_mask=p.interior_mask,
                 free_mask=p.free_mask,
                 c=[p.c_row, p.c_g0m, p.c_g0p, p.c_in0, p.c_in1,
                    p.c_d0m, p.c_d0p, p.c_d1m, p.c_d1p, p.c_pi, p.c_swap_pq],
+                cseg=[p.c_seg, p.c_seg_valid],
                 l=[p.l_row, p.l_stencil, p.l_weight, p.l_rhs],
                 s=[p.s_row, p.s_nb],
                 sl=[p.sl_row, p.sl_master, p.sl_off],
             ),
         )
+        # f32 twin of the plan for the mixed-precision inner solver
+        def _to32(x):
+            x = jnp.asarray(x)
+            return x.astype(jnp.float32) if x.dtype == jnp.float64 else x
+
+        self._jnp_plan32 = jax.tree.map(_to32, self._jnp_plan)
         self._solve_jit = jax.jit(self._solve_impl)
+        self._jit_base = jax.jit(self._stage_base)
+        self._jit_sub = jax.jit(self._stage_sub)
+        self._jit_affine = jax.jit(self._stage_affine)
+        self._jit_apply64 = jax.jit(self._stage_apply64)
+        self._jit_prepare32 = jax.jit(self._stage_prepare32)
+        self._jit_inner = jax.jit(self._stage_inner)
+        self._jit_finish = jax.jit(self._stage_finish)
 
     # -- residual / operator --------------------------------------------------
 
+    def _plan_for(self, dtype):
+        return self._jnp_plan32 if dtype == jnp.float32 else self._jnp_plan
+
     def _substitute(self, Xf, with_offsets):
-        sl_row, sl_master, sl_off = self._jnp_plan["sl"]
-        val = Xf[sl_master] + (sl_off if with_offsets else 0.0)
+        # with_offsets may be a python bool or a traced 0/1 scalar: the
+        # affine offsets are scaled rather than branched on, so the
+        # with/without variants share one compiled program (f64 compiles
+        # are expensive on TPU).
+        sl_row, sl_master, sl_off = self._plan_for(Xf.dtype)["sl"]
+        scale = jnp.asarray(with_offsets, Xf.dtype)
+        val = Xf[sl_master] + scale * sl_off
         return Xf.at[sl_row].set(val, unique_indices=True)
 
     def _apply(self, baseX, baseF, cf_pad, Vf, with_offsets):
@@ -276,7 +330,7 @@ class DeviceSmoother:
         coefficients); baseF: its flat slave-substituted version; Vf: flat
         (B*N*M, 2) point values to apply the equations to. Returns flat
         residuals over the free components."""
-        p = self._jnp_plan
+        p = self._plan_for(Vf.dtype)
         B, N, M = self.plan.B, self.plan.N, self.plan.M
 
         Vf = self._substitute(Vf, with_offsets)
@@ -290,8 +344,9 @@ class DeviceSmoother:
         # connection middle rows (exact reference layout, smooth.zig:994-1105)
         (c_row, c_g0m, c_g0p, c_in0, c_in1,
          c_d0m, c_d0p, c_d1m, c_d1p, c_pi, c_swap) = p["c"]
+        off_scale = jnp.asarray(with_offsets, Vf.dtype)
         if c_row.shape[0]:
-            pi = c_pi if with_offsets else jnp.zeros_like(c_pi)
+            pi = off_scale * c_pi
             im1_j = baseF[c_g0m]
             ip1_j = baseF[c_g0p]
             i_jm1 = baseF[c_in0]
@@ -327,8 +382,7 @@ class DeviceSmoother:
         if l_row.shape[0]:
             vals = Vf[l_stencil]  # (L, K, 2)
             r = jnp.sum(l_weight[..., None] * vals, axis=1)
-            if with_offsets:
-                r = r - l_rhs
+            r = r - off_scale * l_rhs
             Rf = Rf.at[l_row].set(r, unique_indices=True)
 
         # sliding rows: y - y_neighbor (x handled by exclusion from free set)
@@ -342,8 +396,9 @@ class DeviceSmoother:
 
     def _diag(self, baseX, baseF):
         """Jacobi preconditioner diagonal over free components."""
-        p = self._jnp_plan
-        d = _interior_diag(baseX)[..., None] * jnp.ones(2)
+        p = self._plan_for(baseF.dtype)
+        d0 = _interior_diag(baseX)[..., None]
+        d = jnp.broadcast_to(d0, d0.shape[:-1] + (2,))
         df = d.reshape(-1, 2)
 
         (c_row, c_g0m, c_g0p, c_in0, c_in1, *_r, c_pi, c_swap) = p["c"]
@@ -353,12 +408,14 @@ class DeviceSmoother:
             i_jm1 = baseF[c_in0]
             i_jp1 = baseF[c_in1] - c_pi
             g11, _, g22 = _metrics(im1_j, ip1_j, i_jm1, i_jp1)
-            df = df.at[c_row].set((-2.0 * g22 - 2.0 * g11)[:, None] * jnp.ones(2))
+            dc = (-2.0 * g22 - 2.0 * g11)[:, None]
+            df = df.at[c_row].set(jnp.broadcast_to(dc, (dc.shape[0], 2)))
 
         l_row, l_stencil, l_weight, _ = p["l"]
         if l_row.shape[0]:
             n = jnp.sum(l_weight != 0.0, axis=1).astype(df.dtype)
-            df = df.at[l_row].set((-(n - 1))[:, None] * jnp.ones(2))
+            dln = (-(n - 1))[:, None]
+            df = df.at[l_row].set(jnp.broadcast_to(dln, (dln.shape[0], 2)))
 
         s_row, _ = p["s"]
         if s_row.shape[0]:
@@ -370,49 +427,225 @@ class DeviceSmoother:
     # -- BiCGStab -------------------------------------------------------------
 
     def _solve_impl(self, Xpad, cf_pad):
-        """One linearized solve: returns updated padded coords."""
-        p = self._jnp_plan
-        free = p["free_mask"].reshape(-1, 2)
-        Xf0 = Xpad.reshape(-1, 2)
-        baseF = self._substitute(Xf0, with_offsets=True)
-        baseX = baseF.reshape(Xpad.shape)
+        """Kept for the driver compile check: one full solve as a single
+        jittable program (small meshes). Large meshes use the staged path
+        in .solve() below."""
+        base, b = self._stage_base(Xpad, cf_pad)
+        ctx = self._stage_prepare32(base, cf_pad)
+        free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
+        bnorm = jnp.linalg.norm(b)
+        tol = jnp.maximum(self.rtol * bnorm, self.atol)
 
-        def A(v):
-            return self._apply(baseX, baseF, cf_pad, v, with_offsets=False)
+        def cond(state):
+            k, x, rn = state
+            return jnp.logical_and(k < 10, rn > tol)
 
-        inv_diag = 1.0 / self._diag(baseX, baseF)
+        def body(state):
+            k, x, _ = state
+            r = b - self._stage_apply64(base, cf_pad, x)
+            x = x + jnp.where(free64, self._stage_inner(ctx, cf_pad, r), 0.0)
+            r_new = b - self._stage_apply64(base, cf_pad, x)
+            return (k + 1, x, jnp.linalg.norm(r_new))
 
-        b = -self._apply(baseX, baseF, cf_pad, baseF, with_offsets=True)
+        x0 = jnp.zeros_like(b)
+        _, delta, rnorm = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf)))
+        X1 = self._stage_finish(base, delta)
+        return X1.reshape(Xpad.shape), rnorm
 
-        # restarted GMRES with Jacobi (diagonal) preconditioning — robust on
-        # the nonsymmetric mixed stencil/equality system (the reference's
-        # GMRES(30)+ILU0 analog, GMRES.zig:21-24)
-        delta, _ = jax.scipy.sparse.linalg.gmres(
-            A, b,
-            M=lambda v: inv_diag * v,
-            tol=self.rtol, atol=self.atol,
-            restart=40, maxiter=self.max_iters,
-            solve_method="batched",
+    # ---- staged kernels (separately jitted in __init__) ---------------------
+
+    def _stage_sub(self, Xpad):
+        """f64 slave substitution of the input field."""
+        return self._substitute(Xpad.reshape(-1, 2), with_offsets=True)
+
+    def _stage_affine(self, baseF, cf_pad, v, off_scale):
+        """f64 equation application; off_scale 1.0 -> affine F(v),
+        0.0 -> linear A v. One compiled program for both."""
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        baseX = baseF.reshape(B, N, M, 2)
+        return self._apply(baseX, baseF, cf_pad, v, with_offsets=off_scale)
+
+    def _stage_base(self, Xpad, cf_pad):
+        baseF = self._stage_sub(Xpad)
+        b = -self._stage_affine(baseF, cf_pad, baseF, jnp.asarray(1.0))
+        return baseF, b
+
+    def _stage_apply64(self, baseF, cf_pad, v):
+        return self._stage_affine(baseF, cf_pad, v, jnp.asarray(0.0))
+
+    def _stage_prepare32(self, baseF, cf_pad):
+        """f32 inner-solver context: preconditioner factors, frozen base."""
+        from .krylov import build_line_precond, build_line_precond_i
+
+        p32 = self._jnp_plan32
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        baseF32 = baseF.astype(jnp.float32)
+        baseX32 = baseF32.reshape(B, N, M, 2)
+        cf32 = cf_pad.astype(jnp.float32)
+        diag_field = self._diag(baseX32, baseF32).reshape(B, N, M, 2)
+        dl_j, d_j, du_j = build_line_precond(baseX32, cf32, diag_field,
+                                             p32["interior_mask"])
+        dl_i, d_i, du_i = build_line_precond_i(baseX32, cf32, diag_field,
+                                               p32["interior_mask"])
+
+        (c_row, c_g0m, c_g0p, c_in0, c_in1, *_r, c_pi, c_swap) = p32["c"]
+        if c_row.shape[0]:
+            cg11, _, cg22 = _metrics(
+                baseF32[c_g0m], baseF32[c_g0p], baseF32[c_in0],
+                baseF32[c_in1] - c_pi)
+            cf_row = cf32.reshape(-1, 2)[c_row]
+            Pq = jnp.where(c_swap, cf_row[:, 1], cf_row[:, 0])
+            ch = (cg22 * (1 - 0.5 * Pq), -2.0 * cg22 - 2.0 * cg11,
+                  cg22 * (1 + 0.5 * Pq))
+        else:
+            z = jnp.zeros((0,), jnp.float32)
+            ch = (z, z, z)
+        return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
+                    lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch)
+
+    def _stage_inner(self, ctx, cf_pad, r64):
+        """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
+        from .krylov import (restarted_gmres, thomas, apply_line_precond,
+                             apply_line_precond_i)
+
+        p32 = self._jnp_plan32
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        baseF32 = ctx["baseF32"]
+        baseX32 = baseF32.reshape(B, N, M, 2)
+        cf32 = ctx["cf32"]
+        diag_field = ctx["diag"]
+        dl_j, d_j, du_j = ctx["lj"]
+        dl_i, d_i, du_i = ctx["li"]
+        ch_l, ch_d, ch_u = ctx["chain"]
+
+        (c_row, *_rest) = p32["c"]
+        c_seg, c_seg_valid = p32["cseg"]
+        have_chains = c_row.shape[0] > 0
+        if have_chains:
+            vmask = c_seg_valid
+            seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
+            seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
+            seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
+            chain_rows = c_row[c_seg]
+
+        def A32(v):
+            return self._apply(baseX32, baseF32, cf32, v, with_offsets=False)
+
+        def overwrite_chains(out_field, vflat):
+            if not have_chains:
+                return out_field
+            rhs = jnp.where(vmask[..., None], vflat[chain_rows], 0.0)
+            sol = thomas(seg_dl, seg_d, seg_du, rhs)
+            outf = out_field.reshape(-1, 2)
+            cur = outf[chain_rows]
+            upd = jnp.where(vmask[..., None], sol - cur, 0.0)
+            return outf.at[chain_rows].add(upd).reshape(out_field.shape)
+
+        def M_inv(vflat):
+            v = vflat.reshape(B, N, M, 2)
+            z1 = apply_line_precond_i(dl_i, d_i, du_i, diag_field,
+                                      p32["free_mask"], p32["interior_mask"], v)
+            z1 = overwrite_chains(z1, vflat)
+            r = vflat - A32(z1.reshape(-1, 2))
+            z2 = apply_line_precond(dl_j, d_j, du_j, diag_field,
+                                    p32["free_mask"], p32["interior_mask"],
+                                    r.reshape(B, N, M, 2))
+            z2 = overwrite_chains(z2, r.reshape(-1, 2))
+            return (z1 + z2).reshape(-1, 2)
+
+        row_diag = diag_field.reshape(-1, 2)
+        inv_row = 1.0 / row_diag
+
+        def A_s(v):
+            return inv_row * A32(v)
+
+        def M_inv_s(v):
+            return M_inv(row_diag * v)
+
+        r32 = inv_row * r64.astype(jnp.float32)
+        d32, _ = restarted_gmres(
+            A_s, r32, M_inv_s, dot=lambda x, y: jnp.sum(x * y),
+            rtol=jnp.float32(1e-6), atol=jnp.float32(0.0),
+            restart=self.restart, max_restarts=self.max_restarts,
         )
-        # iteration count is not exposed; report final residual instead
-        rnorm = jnp.linalg.norm(A(delta) - b)
+        return d32.astype(jnp.float64)
 
-        Xf1 = baseF + jnp.where(free, delta, 0.0)
-        # refresh slaves from the solved masters
-        Xf1 = self._substitute(Xf1, with_offsets=True)
-        return Xf1.reshape(Xpad.shape), rnorm
+    def _stage_finish(self, baseF, delta):
+        free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
+        Xf1 = baseF + jnp.where(free64, delta, 0.0)
+        return self._substitute(Xf1, with_offsets=True)
 
     # -- host API (matches SparseSystem.solve) --------------------------------
 
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
+        """Mixed-precision iterative refinement.
+
+        The f64 outer loop (exact residuals of the reference discretization)
+        runs on host against the sparse assembly — cheap SpMVs; the f32
+        inner Krylov solve (all the iteration work) runs on TPU. f64 on the
+        current TPU runtime is emulated, with pathologically slow and
+        fragile compiles for gather/scatter programs, so keeping the outer
+        loop on host is both faster and robust; accuracy is identical
+        (the host assembly IS the oracle discretization).
+        """
+        import scipy.sparse as sp
+
         p = self.plan
+        if self._oracle is None:
+            from .system import SparseSystem
+
+            self._oracle = SparseSystem(self._mesh, self._info)
+
+        # f64 host side: assemble the exact system at the frozen base
+        base = coords.copy()
+        base[self._info.slave_ids] = (base[self._info.master_ids]
+                                      + self._info.slave_offsets)
+        rows, cols, vals, rhs = self._oracle.assemble(base, cf)
+        sl = self._info.sliding_ids
+        nb = self._info.sliding_neighbor_ids
+        P = self._oracle.P
+        rx = np.concatenate([rows, sl, sl])
+        cx = np.concatenate([cols, sl, nb])
+        vx = np.concatenate([vals, np.ones(len(sl)), np.zeros(len(sl))])
+        Ax = sp.csr_matrix((vx, (rx, cx)), shape=(P, P))
+        bx = rhs[:, 0].copy()
+        bx[sl] = base[sl, 0]
+        vy = np.concatenate([vals, np.ones(len(sl)), -np.ones(len(sl))])
+        Ay = sp.csr_matrix((vy, (rx, cx)), shape=(P, P))
+        by = rhs[:, 1].copy()
+        by[sl] = 0.0
+
+        # f32 TPU side: inner-solver context at the same frozen base
         Xpad = np.zeros((p.B * p.N * p.M, 2))
-        Xpad[p.scatter_idx] = coords
+        Xpad[p.scatter_idx] = base
         cf_pad = np.zeros((p.B * p.N * p.M, 2))
         cf_pad[p.scatter_idx] = cf
-        Xout, rnorm = self._solve_jit(
-            jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
-            jnp.asarray(cf_pad.reshape(p.B, p.N, p.M, 2)),
-        )
-        self.last_linear_residual = float(rnorm)
-        return np.asarray(Xout).reshape(-1, 2)[p.scatter_idx]
+        baseF = jnp.asarray(Xpad)
+        C = jnp.asarray(cf_pad.reshape(p.B, p.N, p.M, 2))
+        ctx = self._jit_prepare32(baseF, C)
+
+        freeg = np.asarray(p.free_mask).reshape(-1, 2)[p.scatter_idx]
+        bnorm = float(np.sqrt((bx @ bx) + (by @ by)))
+        tol = max(self.rtol * bnorm, self.atol)
+
+        x = base.copy()  # solve A x = b starting from the base coordinates
+        rnorm = np.inf
+        for _ in range(12):
+            r = np.stack([bx - Ax @ x[:, 0], by - Ay @ x[:, 1]], axis=1)
+            r = np.where(freeg, r, 0.0)
+            rnorm = float(np.linalg.norm(r))
+            if rnorm <= tol:
+                break
+            rpad = np.zeros((p.B * p.N * p.M, 2))
+            rpad[p.scatter_idx] = r
+            d = np.asarray(self._jit_inner(ctx, C, jnp.asarray(rpad)))
+            x = x + np.where(freeg, d[p.scatter_idx], 0.0)
+            # keep slaves consistent while iterating
+            x[self._info.slave_ids] = (x[self._info.master_ids]
+                                       + self._info.slave_offsets)
+        self.last_linear_residual = rnorm
+
+        x[self._info.slave_ids] = (x[self._info.master_ids]
+                                   + self._info.slave_offsets)
+        return x

@@ -66,6 +66,10 @@ class O4H:
     num_cells: NumCells
     inlet_distance: float | None = None
     outlet_distance: float | None = None
+    # wall-normal first-cell clustering spacing of the O-grid. The reference
+    # hard-codes 0.01 (O4H.zig:133,141), which makes the Vinokur law invalid
+    # for o_grid > 100 cells (B = n*ds > 1); expose it for fine meshes.
+    wall_delta_s: float = O_GRID_WALL_DELTA_S
 
     @staticmethod
     def from_config(cfg: dict) -> "O4H":
@@ -74,6 +78,7 @@ class O4H:
             num_cells=NumCells(**cfg["num_cells"]),
             inlet_distance=cfg.get("inlet_distance"),
             outlet_distance=cfg.get("outlet_distance"),
+            wall_delta_s=cfg.get("wall_delta_s", O_GRID_WALL_DELTA_S),
         )
 
     def run(self, geom: Geometry) -> Mesh:  # noqa: C901 — mirrors O4H.zig:67-528
@@ -117,7 +122,7 @@ class O4H:
         up_outer_edge.points[-1] = down_outer_edge.points[-1]
 
         mesh = Mesh()
-        wall_clustering = SingleHyperbolic(delta_s=O_GRID_WALL_DELTA_S)
+        wall_clustering = SingleHyperbolic(delta_s=self.wall_delta_s)
         uniform = Uniform()
 
         # ---- Block BLADE_UP (0) -------------------------------------- O4H.zig:118-148
