@@ -49,30 +49,56 @@ def _solver_name(option) -> str:
 
 def smooth_mesh(mesh, iterations: int, solver="direct",
                 wall_control_function="laplace",
-                residual_history: list | None = None) -> None:
-    """Smooth `mesh` in place for `iterations` Picard steps."""
-    t0 = time.perf_counter()
-    check_connections(mesh)
+                residual_history: list | None = None,
+                checkpoint_path: str | None = None,
+                checkpoint_every: int = 10,
+                resume: bool = False,
+                timer=None) -> None:
+    """Smooth `mesh` in place for `iterations` Picard steps.
 
-    info = classify(mesh)
+    checkpoint_path/checkpoint_every: periodically save restartable state
+    (coordinates + control function + iteration counter); `resume=True`
+    restores from checkpoint_path and continues from the saved iteration.
+    """
+    from ..profiling import PhaseTimer
+
+    t0 = time.perf_counter()
+    timer = timer or PhaseTimer()
+    with timer.phase("connection_check"):
+        check_connections(mesh)
+
+    with timer.phase("classify"):
+        info = classify(mesh)
     algorithm = cf_from_config(wall_control_function)
     backend = _solver_name(solver)
 
-    if backend == "device":
-        from .device import DeviceSmoother
+    with timer.phase("solver_setup"):
+        if backend == "device":
+            from .device import DeviceSmoother
 
-        smoother = DeviceSmoother(mesh, info)
-    else:
-        smoother = SparseSystem(mesh, info)
+            smoother = DeviceSmoother(mesh, info)
+        else:
+            smoother = SparseSystem(mesh, info)
 
     cf = algorithm.init(mesh)
+    start_iteration = 0
+    if resume and checkpoint_path is not None:
+        from ..checkpoint import load_checkpoint
+
+        start_iteration, cf_saved = load_checkpoint(checkpoint_path, mesh)
+        if cf_saved is not None:
+            cf = cf_saved
+        log.info("resumed from %s at iteration %d", checkpoint_path, start_iteration)
+
     coords = mesh.flat_coords()
 
-    for n in range(iterations):
+    for n in range(start_iteration, iterations):
         log.info("iteration: %d", n)
         if n > 0:
-            algorithm.update(cf, mesh)
-        new = smoother.solve(coords, cf)
+            with timer.phase("control_function_update"):
+                algorithm.update(cf, mesh)
+        with timer.phase("linear_solve"):
+            new = smoother.solve(coords, cf)
 
         dx = coords[:, 0] - new[:, 0]
         dy = coords[:, 1] - new[:, 1]
@@ -84,4 +110,11 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
         coords = new
         mesh.set_flat_coords(coords)
 
+        if checkpoint_path is not None and (n + 1) % checkpoint_every == 0:
+            from ..checkpoint import save_checkpoint
+
+            with timer.phase("checkpoint"):
+                save_checkpoint(checkpoint_path, mesh, n + 1, cf)
+
+    timer.log_report(nodes=mesh.num_points)
     log.info("elapsed time for smoothing: %.2f s", time.perf_counter() - t0)
