@@ -589,32 +589,16 @@ class DeviceSmoother:
         loop on host is both faster and robust; accuracy is identical
         (the host assembly IS the oracle discretization).
         """
-        import scipy.sparse as sp
+        from .host_ops import HostOperator
 
         p = self.plan
-        if self._oracle is None:
-            from .system import SparseSystem
-
-            self._oracle = SparseSystem(self._mesh, self._info)
-
-        # f64 host side: assemble the exact system at the frozen base
+        # f64 host side: matrix-free application of the exact reference
+        # discretization with coefficients frozen at the substituted base
+        # (C++/OpenMP interior kernel; perimeter rows in NumPy)
         base = coords.copy()
         base[self._info.slave_ids] = (base[self._info.master_ids]
                                       + self._info.slave_offsets)
-        rows, cols, vals, rhs = self._oracle.assemble(base, cf)
-        sl = self._info.sliding_ids
-        nb = self._info.sliding_neighbor_ids
-        P = self._oracle.P
-        rx = np.concatenate([rows, sl, sl])
-        cx = np.concatenate([cols, sl, nb])
-        vx = np.concatenate([vals, np.ones(len(sl)), np.zeros(len(sl))])
-        Ax = sp.csr_matrix((vx, (rx, cx)), shape=(P, P))
-        bx = rhs[:, 0].copy()
-        bx[sl] = base[sl, 0]
-        vy = np.concatenate([vals, np.ones(len(sl)), -np.ones(len(sl))])
-        Ay = sp.csr_matrix((vy, (rx, cx)), shape=(P, P))
-        by = rhs[:, 1].copy()
-        by[sl] = 0.0
+        op = HostOperator(self._mesh, self._info, base, cf)
 
         # f32 TPU side: inner-solver context at the same frozen base
         Xpad = np.zeros((p.B * p.N * p.M, 2))
@@ -625,27 +609,25 @@ class DeviceSmoother:
         C = jnp.asarray(cf_pad.reshape(p.B, p.N, p.M, 2))
         ctx = self._jit_prepare32(baseF, C)
 
-        freeg = np.asarray(p.free_mask).reshape(-1, 2)[p.scatter_idx]
-        bnorm = float(np.sqrt((bx @ bx) + (by @ by)))
+        freeg = op.free
+        r0 = -op.residual(base)
+        bnorm = float(np.linalg.norm(r0))
         tol = max(self.rtol * bnorm, self.atol)
 
-        x = base.copy()  # solve A x = b starting from the base coordinates
-        rnorm = np.inf
+        x = base.copy()
+        rnorm = bnorm
+        r = r0
         for _ in range(12):
-            r = np.stack([bx - Ax @ x[:, 0], by - Ay @ x[:, 1]], axis=1)
-            r = np.where(freeg, r, 0.0)
-            rnorm = float(np.linalg.norm(r))
             if rnorm <= tol:
                 break
             rpad = np.zeros((p.B * p.N * p.M, 2))
             rpad[p.scatter_idx] = r
             d = np.asarray(self._jit_inner(ctx, C, jnp.asarray(rpad)))
             x = x + np.where(freeg, d[p.scatter_idx], 0.0)
-            # keep slaves consistent while iterating
-            x[self._info.slave_ids] = (x[self._info.master_ids]
-                                       + self._info.slave_offsets)
+            op.substitute(x)
+            r = -op.residual(x)
+            rnorm = float(np.linalg.norm(r))
         self.last_linear_residual = rnorm
 
-        x[self._info.slave_ids] = (x[self._info.master_ids]
-                                   + self._info.slave_offsets)
+        op.substitute(x)
         return x
