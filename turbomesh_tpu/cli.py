@@ -27,6 +27,14 @@ def main(argv=None) -> int:
                         "(default: config file's directory)")
     p.add_argument("--plot", action="store_true",
                    help="show the mesh wireframe with matplotlib")
+    p.add_argument("--solver", default=None,
+                   help="override solver backend (direct | device)")
+    p.add_argument("--target-residual", type=float, default=None,
+                   help="stop smoothing once the residual drops below this")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint file for save/resume of smoothing state")
+    p.add_argument("--resume", action="store_true",
+                   help="resume smoothing from --checkpoint")
     p.add_argument("--version", action="version", version="turbomesh-tpu 0.1.0")
     args = p.parse_args(argv)
 
@@ -62,8 +70,11 @@ def main(argv=None) -> int:
         smooth_mesh(
             mesh,
             iterations=iterations,
-            solver=inp.smoothing.solver,
+            solver=args.solver or inp.smoothing.solver,
             wall_control_function=inp.smoothing.wall_control_function,
+            target_residual=args.target_residual,
+            checkpoint_path=args.checkpoint,
+            resume=args.resume,
         )
         print(f"elapsed time for smoothing: {time.perf_counter() - t0:.2f} s")
 

@@ -53,12 +53,15 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
                 checkpoint_path: str | None = None,
                 checkpoint_every: int = 10,
                 resume: bool = False,
+                target_residual: float | None = None,
                 timer=None) -> None:
     """Smooth `mesh` in place for `iterations` Picard steps.
 
     checkpoint_path/checkpoint_every: periodically save restartable state
     (coordinates + control function + iteration counter); `resume=True`
     restores from checkpoint_path and continues from the saved iteration.
+    target_residual: stop early once the displacement-norm residual drops
+    below this value (run-to-convergence mode; `iterations` is the cap).
     """
     from ..profiling import PhaseTimer
 
@@ -109,6 +112,15 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
 
         coords = new
         mesh.set_flat_coords(coords)
+
+        if target_residual is not None and norm < target_residual:
+            log.info("converged: residual %.3e < target %.3e at iteration %d",
+                     norm, target_residual, n)
+            if checkpoint_path is not None:
+                from ..checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, mesh, n + 1, cf)
+            break
 
         if checkpoint_path is not None and (n + 1) % checkpoint_every == 0:
             from ..checkpoint import save_checkpoint
