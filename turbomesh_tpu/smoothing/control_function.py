@@ -17,7 +17,9 @@ Reference parity: src/core/smoothing/wall_control_function.zig.
     accumulated into the wall row then re-decayed
     (wall_control_function.zig:282-473).
 
-P,Q are stored per global point id, like the reference's flat cf array.
+All wall rows are computed vectorized over i (formulas identical to the
+reference's per-point scheme). P,Q are stored per global point id, like
+the reference's flat cf array.
 """
 
 from __future__ import annotations
@@ -37,6 +39,31 @@ class Laplace:
         pass
 
 
+def _wall_xi_derivs(x, y, second: bool):
+    """xi derivatives along the wall row (j=0): central interior, one-sided
+    ends; optionally second derivatives too. x, y: (ni, nj)."""
+    ni = x.shape[0]
+    x_xi = np.empty(ni)
+    y_xi = np.empty(ni)
+    x_xi[1:-1] = 0.5 * (x[2:, 0] - x[:-2, 0])
+    y_xi[1:-1] = 0.5 * (y[2:, 0] - y[:-2, 0])
+    x_xi[0] = -x[0, 0] + x[1, 0]
+    y_xi[0] = -y[0, 0] + y[1, 0]
+    x_xi[-1] = x[-1, 0] - x[-2, 0]
+    y_xi[-1] = y[-1, 0] - y[-2, 0]
+    if not second:
+        return x_xi, y_xi, None, None
+    x_xi2 = np.empty(ni)
+    y_xi2 = np.empty(ni)
+    x_xi2[1:-1] = x[2:, 0] - 2 * x[1:-1, 0] + x[:-2, 0]
+    y_xi2[1:-1] = y[2:, 0] - 2 * y[1:-1, 0] + y[:-2, 0]
+    x_xi2[0] = x[0, 0] - 2 * x[1, 0] + x[2, 0]
+    y_xi2[0] = y[0, 0] - 2 * y[1, 0] + y[2, 0]
+    x_xi2[-1] = x[-1, 0] - 2 * x[-2, 0] + x[-3, 0]
+    y_xi2[-1] = y[-1, 0] - 2 * y[-2, 0] + y[-3, 0]
+    return x_xi, y_xi, x_xi2, y_xi2
+
+
 @dataclasses.dataclass
 class White:
     ds_target: float
@@ -54,45 +81,19 @@ class White:
         return p, q
 
     @staticmethod
+    def _decay_fill_block(cf, base, ni, nj, p, q):
+        """All wall rows of one block: cf(i, j) = (1 - j/(nj-1)) * (p_i, q_i)."""
+        factor = 1.0 - np.arange(nj, dtype=np.float64) / (nj - 1.0)
+        block = cf[base : base + ni * nj].reshape(ni, nj, 2)
+        block[:, :, 0] = np.asarray(p)[:, None] * factor[None, :]
+        block[:, :, 1] = np.asarray(q)[:, None] * factor[None, :]
+
+    @staticmethod
     def _decay_fill(cf, start, nj, p, q):
-        """cf rows [start .. start+nj): wall value then linear decay in j."""
+        """cf rows [start .. start+nj): wall value with linear decay in j."""
         factor = 1.0 - np.arange(nj, dtype=np.float64) / (nj - 1.0)
         cf[start : start + nj, 0] = factor * p
         cf[start : start + nj, 1] = factor * q
-        # wall row (j=0) gets the undecayed value (factor[0] == 1)
-
-    def _wall_derivs(self, pts, i, order):
-        """First/second xi-derivatives along the wall (j=0 row) at index i
-        with the reference's one-sided/central scheme choice."""
-        x = pts[:, 0, 0]
-        y = pts[:, 0, 1]
-        if order == "forward":
-            x_xi = -x[i] + x[i + 1]
-            y_xi = -y[i] + y[i + 1]
-            x_xi2 = x[i] - 2 * x[i + 1] + x[i + 2]
-            y_xi2 = y[i] - 2 * y[i + 1] + y[i + 2]
-        elif order == "backward":
-            x_xi = x[i] - x[i - 1]
-            y_xi = y[i] - y[i - 1]
-            x_xi2 = x[i] - 2 * x[i - 1] + x[i - 2]
-            y_xi2 = y[i] - 2 * y[i - 1] + y[i - 2]
-        else:
-            x_xi = 0.5 * (x[i + 1] - x[i - 1])
-            y_xi = 0.5 * (y[i + 1] - y[i - 1])
-            x_xi2 = x[i + 1] - 2 * x[i] + x[i - 1]
-            y_xi2 = y[i + 1] - 2 * y[i] + y[i - 1]
-        return x_xi, y_xi, x_xi2, y_xi2
-
-    @staticmethod
-    def _eta_derivs(pts, i):
-        """Forward eta-derivatives off the wall at column i."""
-        x = pts[i, :, 0]
-        y = pts[i, :, 1]
-        x_eta = -x[0] + x[1]
-        y_eta = -y[0] + y[1]
-        x_eta2 = x[0] - 2 * x[1] + x[2]
-        y_eta2 = y[0] - 2 * y[1] + y[2]
-        return x_eta, y_eta, x_eta2, y_eta2
 
     # -- init (wall_control_function.zig:70-280) ------------------------------
 
@@ -103,14 +104,17 @@ class White:
         for b in range(2):  # hard-coded wall blocks 0..1 (blade_up/blade_down)
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
-            base = starts[b]
-            for i in range(ni):
-                order = "forward" if i == 0 else ("backward" if i == ni - 1 else "central")
-                x_xi, y_xi, x_xi2, y_xi2 = self._wall_derivs(pts, i, order)
-                x_eta, y_eta, x_eta2, y_eta2 = self._eta_derivs(pts, i)
-                p, q = self._pq_from_derivs(x_xi, y_xi, x_xi2, y_xi2,
-                                            x_eta, y_eta, x_eta2, y_eta2)
-                self._decay_fill(cf, base + i * nj, nj, p, q)
+            x = pts[:, :, 0]
+            y = pts[:, :, 1]
+            x_xi, y_xi, x_xi2, y_xi2 = _wall_xi_derivs(x, y, second=True)
+            # forward eta derivatives off the wall
+            x_eta = -x[:, 0] + x[:, 1]
+            y_eta = -y[:, 0] + y[:, 1]
+            x_eta2 = x[:, 0] - 2 * x[:, 1] + x[:, 2]
+            y_eta2 = y[:, 0] - 2 * y[:, 1] + y[:, 2]
+            p, q = self._pq_from_derivs(x_xi, y_xi, x_xi2, y_xi2,
+                                        x_eta, y_eta, x_eta2, y_eta2)
+            self._decay_fill_block(cf, starts[b], ni, nj, p, q)
 
         self._le_connection_init(cf, mesh)
         return cf
@@ -174,17 +178,25 @@ class White:
         for b in range(2):
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
+            x = pts[:, :, 0]
+            y = pts[:, :, 1]
+            x_xi, y_xi, _, _ = _wall_xi_derivs(x, y, second=False)
+            x_eta = -x[:, 0] + x[:, 1]
+            y_eta = -y[:, 0] + y[:, 1]
+
+            g11 = x_xi * x_xi + y_xi * y_xi
+            g12 = x_xi * x_eta + y_xi * y_eta
+            g22 = x_eta * x_eta + y_eta * y_eta
+            ds = np.sqrt(g22)
+            theta = np.arccos(g12 / np.sqrt(g11 * g22))
+            delta_p = -np.arctan2(self.theta_target - theta, self.theta_target)
+            delta_q = np.arctan2(self.ds_target - ds, self.ds_target)
+
             base = starts[b]
-            for i in range(ni):
-                order = "forward" if i == 0 else ("backward" if i == ni - 1 else "central")
-                x_xi, y_xi, _, _ = self._wall_derivs(pts, i, order)
-                x = pts[i, :, 0]
-                y = pts[i, :, 1]
-                x_eta = -x[0] + x[1]
-                y_eta = -y[0] + y[1]
-                p, q = cf[base + i * nj]
-                p, q = self._feedback(p, q, x_xi, y_xi, x_eta, y_eta)
-                self._decay_fill(cf, base + i * nj, nj, p, q)
+            wall = cf[base : base + ni * nj].reshape(ni, nj, 2)[:, 0, :]
+            p = wall[:, 0] + 0.1 * delta_p
+            q = wall[:, 1] + 0.1 * delta_q
+            self._decay_fill_block(cf, base, ni, nj, p, q)
 
         # leading-edge connection update (block 0 column 0)
         x_xi, y_xi, x_eta, y_eta = self._le_connection_pq(mesh, second_order=False)
@@ -198,6 +210,8 @@ def from_config(cfg) -> Laplace | White:
     """Tagged-union config: "laplace" or {"white": {"ds_target": ..}}."""
     if cfg in ("laplace", None) or cfg == {"laplace": {}}:
         return Laplace()
+    if isinstance(cfg, (Laplace, White)):
+        return cfg
     if isinstance(cfg, dict):
         (tag, params), = cfg.items()
         if tag == "laplace":
@@ -207,6 +221,4 @@ def from_config(cfg) -> Laplace | White:
             if "theta_target" in params:
                 out.theta_target = params["theta_target"]
             return out
-    if isinstance(cfg, (Laplace, White)):
-        return cfg
     raise ValueError(f"unknown wall control function {cfg!r}")
