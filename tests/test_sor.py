@@ -66,3 +66,21 @@ def test_rb_sor_pallas_interpret_matches_fallback():
     a = red_black_sor(*args, sweeps=5, use_pallas=True, interpret=True)
     b = red_black_sor(*args, sweeps=5, use_pallas=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tridiag_pcr_matches_thomas():
+    from turbomesh_tpu.smoothing.krylov import thomas, tridiag_pcr
+
+    rng = np.random.default_rng(0)
+    for n in (5, 64, 200, 257):
+        dl = rng.random((3, 4, n))
+        d = 4.0 + rng.random((3, 4, n))
+        du = rng.random((3, 4, n))
+        rhs = rng.random((3, 4, n, 2))
+        dl[..., 0] = 0.0
+        du[..., -1] = 0.0
+        a = np.asarray(thomas(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                              jnp.asarray(rhs)))
+        b = np.asarray(tridiag_pcr(jnp.asarray(dl), jnp.asarray(d),
+                                   jnp.asarray(du), jnp.asarray(rhs)))
+        np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"n={n}")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
@@ -112,7 +113,7 @@ def thomas(dl, d, du, rhs):
         cp_prev, dp_prev = carry
         dl_k, d_k, du_k, r_k = inp
         denom = d_k - dl_k * cp_prev
-        denom = jnp.where(denom == 0, 1e-300, denom)
+        denom = jnp.where(denom == 0, 1.0, denom)
         cp = du_k / denom
         dp = (r_k - dl_k[..., None] * dp_prev) / denom[..., None]
         return (cp, dp), (cp, dp)
@@ -139,6 +140,70 @@ def thomas(dl, d, du, rhs):
     return jnp.moveaxis(x, 0, -2)
 
 
+def tridiag_pcr(dl, d, du, rhs):
+    """Parallel cyclic reduction tridiagonal solve along the last-but-one
+    axis of rhs; same signature/semantics as thomas().
+
+    O(n log n) work in ceil(log2 n) fully-vectorized steps — latency-
+    friendly on TPU for long lines (the sequential Thomas scan pays one
+    VPU dispatch per grid line point). Out-of-range neighbors are treated
+    as identity rows (a=c=0, b=1, d=0).
+    """
+    n = d.shape[-1]
+    steps = max(1, int(np.ceil(np.log2(n))))
+
+    a = dl
+    b = d
+    c = du
+    r = rhs  # (..., n, C)
+
+    def shift(arr, s, fill):
+        """arr shifted so out[i] = arr[i - s], out-of-range -> fill."""
+        rolled = jnp.roll(arr, s, axis=-1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+        valid = (idx - s >= 0) & (idx - s < n)
+        return jnp.where(valid, rolled, fill)
+
+    def shift_r(arr, s, fill):
+        rolled = jnp.roll(arr, s, axis=-2)
+        idx = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 2)
+        valid = (idx - s >= 0) & (idx - s < n)
+        return jnp.where(valid, rolled, fill)
+
+    s = 1
+    for _ in range(steps):
+        a_m = shift(a, s, 0.0)
+        b_m = shift(b, s, 1.0)
+        c_m = shift(c, s, 0.0)
+        r_m = shift_r(r, s, 0.0)
+        a_p = shift(a, -s, 0.0)
+        b_p = shift(b, -s, 1.0)
+        c_p = shift(c, -s, 0.0)
+        r_p = shift_r(r, -s, 0.0)
+
+        alpha = -a / jnp.where(b_m == 0, 1.0, b_m)
+        beta = -c / jnp.where(b_p == 0, 1.0, b_p)
+
+        a = alpha * a_m
+        c = beta * c_p
+        b = b + alpha * c_m + beta * a_p
+        r = r + alpha[..., None] * r_m + beta[..., None] * r_p
+        s *= 2
+
+    return r / jnp.where(b == 0, 1.0, b)[..., None]
+
+
+# threshold above which PCR beats the sequential scan on TPU
+_PCR_MIN_LEN = 128
+
+
+def tridiag_solve(dl, d, du, rhs):
+    """Dispatch: sequential Thomas scan for short lines, PCR for long."""
+    if d.shape[-1] >= _PCR_MIN_LEN:
+        return tridiag_pcr(dl, d, du, rhs)
+    return thomas(dl, d, du, rhs)
+
+
 def build_line_precond_i(baseX, cf, diag_field, interior_mask):
     """i-direction analog of build_line_precond: tridiagonal factors along i
     with the xi-coupling coefficients g22(1 +/- P/2)."""
@@ -160,8 +225,8 @@ def build_line_precond_i(baseX, cf, diag_field, interior_mask):
 def apply_line_precond_i(dl, d, du, diag_field, free_mask, interior_mask, v):
     """Tridiagonal solve along i (axis 1). Transpose to put i last-but-one."""
     vt = jnp.swapaxes(v, 1, 2)           # (B, M, N, 2)
-    sol = thomas(jnp.swapaxes(dl, 1, 2), jnp.swapaxes(d, 1, 2),
-                 jnp.swapaxes(du, 1, 2), vt)
+    sol = tridiag_solve(jnp.swapaxes(dl, 1, 2), jnp.swapaxes(d, 1, 2),
+                        jnp.swapaxes(du, 1, 2), vt)
     sol = jnp.swapaxes(sol, 1, 2)
     inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
     out = jnp.where(interior_mask[..., None], sol, v * inv_diag)
