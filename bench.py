@@ -81,6 +81,17 @@ def main(scale_cells: int = 2, iters: int = 5, oracle_iters: int = 1):
     dt_o = time.perf_counter() - t0
     oracle_mnodes = n_nodes * oracle_iters / dt_o / 1e6
 
+    # secondary metric: wall-clock to converge the full nonlinear problem
+    # (displacement-norm residual < 1e-10, the BASELINE.md bar), Laplace
+    mesh2 = build_mesh(scale_cells)
+    from turbomesh_tpu.smoothing import smooth_mesh
+
+    res_hist = []
+    t0 = time.perf_counter()
+    smooth_mesh(mesh2, iterations=60, solver="device",
+                target_residual=1e-10, residual_history=res_hist)
+    t_converge = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "elliptic_smoothing_throughput",
         "value": round(device_mnodes, 3),
@@ -91,6 +102,8 @@ def main(scale_cells: int = 2, iters: int = 5, oracle_iters: int = 1):
             "picard_iters": iters,
             "device_seconds_per_iter": round(dt / iters, 4),
             "oracle_mnodes_per_s": round(oracle_mnodes, 3),
+            "seconds_to_residual_1e-10": round(t_converge, 2),
+            "picard_iters_to_converge": len(res_hist),
             "platform": jax.devices()[0].platform,
         },
     }))

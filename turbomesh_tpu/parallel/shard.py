@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh as JMesh, PartitionSpec as P
 
-from ..smoothing.classify import BoundaryInfo, Kind
+from ..smoothing.classify import BoundaryInfo
 from ..smoothing.device import build_plan, _metrics
 
 

@@ -21,7 +21,7 @@ oracle's full-system solution to solver tolerance.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -241,21 +241,6 @@ def _interior_diag(base):
     return jnp.pad((-2.0 * g22 - 2.0 * g11), ((0, 0), (1, 1), (1, 1)))
 
 
-def _connection_coefs(baseF, plan_arrays):
-    """Frozen 9-pt coefficients of the connection middle rows.
-
-    baseF: (B*N*M, 2) frozen base with slaves already substituted.
-    Returns the 9 coefficient vectors (C,).
-    """
-    (c_row, c_g0m, c_g0p, c_in0, c_in1, *_rest, c_pi, c_swap) = plan_arrays
-    im1_j = baseF[c_g0m]
-    ip1_j = baseF[c_g0p]
-    i_jm1 = baseF[c_in0]
-    i_jp1 = baseF[c_in1] - c_pi
-    g11, g12, g22 = _metrics(im1_j, ip1_j, i_jm1, i_jp1)
-    return g11, g12, g22
-
-
 class DeviceSmoother:
     """Drop-in replacement for SparseSystem.solve on the TPU path."""
 
@@ -308,6 +293,8 @@ class DeviceSmoother:
         self._jit_apply64 = jax.jit(self._stage_apply64)
         self._jit_prepare32 = jax.jit(self._stage_prepare32)
         self._jit_inner = jax.jit(self._stage_inner)
+        self._jit_A32 = jax.jit(self._stage_A32)
+        self._jit_Minv = jax.jit(self._stage_Minv)
         self._jit_finish = jax.jit(self._stage_finish)
 
     # -- residual / operator --------------------------------------------------
@@ -504,6 +491,55 @@ class DeviceSmoother:
         return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
                     lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch)
 
+    def _stage_A32(self, ctx, v):
+        """f32 linear operator application (jitted separately)."""
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        baseF32 = ctx["baseF32"]
+        baseX32 = baseF32.reshape(B, N, M, 2)
+        return self._apply(baseX32, baseF32, ctx["cf32"], v,
+                           with_offsets=jnp.float32(0.0))
+
+    def _stage_Minv(self, ctx, vflat):
+        """f32 ADI+chain preconditioner application (jitted separately)."""
+        from .krylov import thomas, tridiag_solve, apply_line_precond, \
+            apply_line_precond_i
+
+        p32 = self._jnp_plan32
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        diag_field = ctx["diag"]
+        dl_j, d_j, du_j = ctx["lj"]
+        dl_i, d_i, du_i = ctx["li"]
+        ch_l, ch_d, ch_u = ctx["chain"]
+        (c_row, *_rest) = p32["c"]
+        c_seg, c_seg_valid = p32["cseg"]
+        have_chains = c_row.shape[0] > 0
+
+        def overwrite_chains(out_field, vf):
+            if not have_chains:
+                return out_field
+            vmask = c_seg_valid
+            seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
+            seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
+            seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
+            chain_rows = c_row[c_seg]
+            rhs = jnp.where(vmask[..., None], vf[chain_rows], 0.0)
+            sol = thomas(seg_dl, seg_d, seg_du, rhs)
+            outf = out_field.reshape(-1, 2)
+            cur = outf[chain_rows]
+            upd = jnp.where(vmask[..., None], sol - cur, 0.0)
+            return outf.at[chain_rows].add(upd).reshape(out_field.shape)
+
+        v = vflat.reshape(B, N, M, 2)
+        z1 = apply_line_precond_i(dl_i, d_i, du_i, diag_field,
+                                  p32["free_mask"], p32["interior_mask"], v)
+        z1 = overwrite_chains(z1, vflat)
+        r = vflat - self._stage_A32(ctx, z1.reshape(-1, 2))
+        z2 = apply_line_precond(dl_j, d_j, du_j, diag_field,
+                                p32["free_mask"], p32["interior_mask"],
+                                r.reshape(B, N, M, 2))
+        z2 = overwrite_chains(z2, r.reshape(-1, 2))
+        return (z1 + z2).reshape(-1, 2)
+
     def _stage_inner(self, ctx, cf_pad, r64):
         """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
         from .krylov import (restarted_gmres, thomas, apply_line_precond,
@@ -576,6 +612,39 @@ class DeviceSmoother:
         Xf1 = baseF + jnp.where(free64, delta, 0.0)
         return self._substitute(Xf1, with_offsets=True)
 
+    # Fused-program slot threshold: above this the single fused f32 GMRES
+    # program has been observed to crash the TPU runtime's remote compiler;
+    # fall back to host-orchestrated GMRES over separately-jitted pieces.
+    FUSED_INNER_MAX_SLOTS = 1_500_000
+
+    def _inner_solve(self, ctx, C, rpad):
+        import os
+
+        from .krylov import host_gmres
+
+        p = self.plan
+        slots = p.B * p.N * p.M
+        force = os.environ.get("TURBOMESH_FUSED_INNER")
+        fused = (slots <= self.FUSED_INNER_MAX_SLOTS if force is None
+                 else force == "1")
+        if fused:
+            return self._jit_inner(ctx, C, rpad)
+
+        row_diag = ctx["diag"].reshape(-1, 2)
+        inv_row = 1.0 / row_diag
+
+        def A_s(v):
+            return inv_row * self._jit_A32(ctx, v)
+
+        def M_s(v):
+            return self._jit_Minv(ctx, row_diag * v)
+
+        r32 = inv_row * rpad.astype(jnp.float32)
+        d32, _ = host_gmres(A_s, M_s, r32, rtol=1e-6, atol=0.0,
+                            restart=self.restart,
+                            max_restarts=self.max_restarts)
+        return d32.astype(jnp.float64)
+
     # -- host API (matches SparseSystem.solve) --------------------------------
 
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
@@ -622,7 +691,7 @@ class DeviceSmoother:
                 break
             rpad = np.zeros((p.B * p.N * p.M, 2))
             rpad[p.scatter_idx] = r
-            d = np.asarray(self._jit_inner(ctx, C, jnp.asarray(rpad)))
+            d = np.asarray(self._inner_solve(ctx, C, jnp.asarray(rpad)))
             x = x + np.where(freeg, d[p.scatter_idx], 0.0)
             op.substitute(x)
             r = -op.residual(x)

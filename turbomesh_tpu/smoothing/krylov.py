@@ -100,6 +100,60 @@ def _lsq_givens(H, g, m):
     return y
 
 
+def host_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
+    """Restarted GMRES with host-side control flow over device arrays.
+
+    A and M_inv are (separately jitted) device functions; the Arnoldi /
+    Givens bookkeeping runs in NumPy on scalars pulled from device. Each
+    iteration costs a couple of host-device syncs — slower than the fused
+    while_loop version (restarted_gmres) but compiles each small piece
+    independently, which sidesteps TPU-runtime failures on very large
+    fused programs.
+    """
+    import numpy as onp
+
+    bnorm = float(jnp.linalg.norm(b))
+    tol = max(rtol * bnorm, atol)
+    m = restart
+
+    x = jnp.zeros_like(b)
+    rn = onp.inf
+    for _ in range(max_restarts):
+        r = b - A(x)
+        beta = float(jnp.linalg.norm(r))
+        rn = beta
+        if beta <= tol:
+            break
+        V = [r / beta]
+        H = onp.zeros((m + 1, m))
+        k_used = m
+        for k in range(m):
+            w = A(M_inv(V[k]))
+            for i in range(k + 1):
+                hik = float(jnp.vdot(V[i], w).real) if w.ndim == 1 else float(
+                    jnp.sum(V[i] * w))
+                H[i, k] = hik
+                w = w - hik * V[i]
+            hk1 = float(jnp.linalg.norm(w))
+            H[k + 1, k] = hk1
+            if hk1 == 0.0:
+                k_used = k + 1
+                break
+            V.append(w / hk1)
+        e1 = onp.zeros(m + 1)
+        e1[0] = beta
+        y, *_ = onp.linalg.lstsq(H[: k_used + 1, :k_used], e1[: k_used + 1],
+                                 rcond=None)
+        dx = V[0] * y[0]
+        for i in range(1, k_used):
+            dx = dx + y[i] * V[i]
+        x = x + M_inv(dx)
+    else:
+        r = b - A(x)
+        rn = float(jnp.linalg.norm(r))
+    return x, rn
+
+
 def thomas(dl, d, du, rhs):
     """Batched tridiagonal solve along the LAST-but-one axis of rhs.
 

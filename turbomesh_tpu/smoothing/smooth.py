@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 from ..check import check_connections
-from .classify import classify, Kind
+from .classify import classify
 from .control_function import from_config as cf_from_config
 from .system import SparseSystem
 

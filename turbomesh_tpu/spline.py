@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .types import Float, as_points
+from .types import Float
 
 SAMPLE_COUNT = 200  # spline.zig:22
 

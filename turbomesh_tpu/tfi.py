@@ -19,7 +19,7 @@ Edge naming (mirrors the reference's Side convention, boundary.zig:8-13):
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
