@@ -101,7 +101,8 @@ class White:
         cf = np.zeros((mesh.num_points, 2), dtype=np.float64)
         starts = mesh.block_row_starts()
 
-        for b in range(2):  # hard-coded wall blocks 0..1 (blade_up/blade_down)
+        # hard-coded wall blocks 0..1 (blade_up/blade_down), as the reference
+        for b in range(min(2, len(mesh.blocks))):
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
             x = pts[:, :, 0]
@@ -118,6 +119,22 @@ class White:
 
         self._le_connection_init(cf, mesh)
         return cf
+
+    @staticmethod
+    def _le_connection_applicable(mesh) -> bool:
+        """The reference hard-asserts connection 0 is blade_up.j_min <->
+        blade_down.j_min starting at 0 (wall_control_function.zig:212-217);
+        we skip the LE special case for other topologies instead."""
+        if len(mesh.connections) == 0 or len(mesh.blocks) < 2:
+            return False
+        from ..boundary import Side
+
+        c = mesh.connections[0]
+        r0, r1 = c.ranges
+        return (c.periodicity is None
+                and r0.block == 0 and r0.side is Side.J_MIN and r0.start == 0
+                and r1.block == 1 and r1.side is Side.J_MIN and r1.start == 0
+                and mesh.blocks[0].size[0] > 2 and mesh.blocks[0].size[1] > 2)
 
     def _le_connection_pq(self, mesh, second_order: bool):
         """P,Q at the leading-edge junction of connection 0 (blade_up j_min
@@ -157,6 +174,8 @@ class White:
             return x_xi, y_xi, x_eta, y_eta
 
     def _le_connection_init(self, cf, mesh):
+        if not self._le_connection_applicable(mesh):
+            return
         p, q = self._le_connection_pq(mesh, second_order=True)
         nj = mesh.blocks[0].size[1]
         self._decay_fill(cf, 0, nj, p, q)
@@ -175,7 +194,7 @@ class White:
 
     def update(self, cf: np.ndarray, mesh) -> None:
         starts = mesh.block_row_starts()
-        for b in range(2):
+        for b in range(min(2, len(mesh.blocks))):
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
             x = pts[:, :, 0]
@@ -199,6 +218,8 @@ class White:
             self._decay_fill_block(cf, base, ni, nj, p, q)
 
         # leading-edge connection update (block 0 column 0)
+        if not self._le_connection_applicable(mesh):
+            return
         x_xi, y_xi, x_eta, y_eta = self._le_connection_pq(mesh, second_order=False)
         p, q = cf[0]
         p, q = self._feedback(p, q, x_xi, y_xi, x_eta, y_eta)

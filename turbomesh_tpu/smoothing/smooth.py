@@ -79,7 +79,7 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
         if backend == "device":
             from .device import DeviceSmoother
 
-            smoother = DeviceSmoother(mesh, info)
+            smoother = DeviceSmoother(mesh, info, rtol=1e-10, atol=1e-12)
         else:
             smoother = SparseSystem(mesh, info)
 
