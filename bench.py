@@ -112,5 +112,8 @@ def main(scale_cells: int = 2, iters: int = 5, oracle_iters: int = 1):
 if __name__ == "__main__":
     import sys
 
+    # default scale 2 (~100k nodes): the largest size the current TPU
+    # runtime tunnel compiles reliably (see ROADMAP.md item 1); pass an
+    # explicit scale to attempt larger runs
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     main(scale_cells=scale)

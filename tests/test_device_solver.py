@@ -107,3 +107,48 @@ def test_o4h_small_parity():
     inp = input_mod.load(cfg, base_dir="/root/reference")
     mesh = inp.template.run(inp.geometry)
     _compare(mesh, picard_iters=2, atol=1e-9)
+
+
+def test_o4h_white_parity():
+    """Device vs oracle with the White control function active (nonzero
+    P,Q exercise the connection-row argument-order quirk and cf plumbing)."""
+    from turbomesh_tpu import input as input_mod
+    from turbomesh_tpu.smoothing.control_function import from_config as cf_config
+
+    cfg = {
+        "template": {"O4H": {
+            "inlet_distance": 0.05, "outlet_distance": 0.02,
+            "blade_clustering": {"roberts": {"alpha": 0.5, "beta": 1.1}},
+            "num_cells": {
+                "o_grid": 6, "middle_i": 12, "in_up_j": 6, "in_down_j": 5,
+                "in_i": 5, "out_up_j": 6, "out_down_j": 5, "out_i": 5,
+                "down_j": 6, "bulge": 6, "upstream_i": 5, "downstream_i": 5,
+            },
+        }},
+        "smoothing": {},
+        "geometry": {
+            "pitch": 0.08836,
+            "profile": {"csv": {
+                "down_csv_path": "examples/T106/T106_ps.dat",
+                "up_csv_path": "examples/T106/T106_ss.dat",
+            }},
+        },
+    }
+    inp = input_mod.load(cfg, base_dir="/root/reference")
+    mesh = inp.template.run(inp.geometry)
+    info = classify(mesh)
+    oracle = SparseSystem(mesh, info)
+    device = DeviceSmoother(mesh, info)
+    white = cf_config({"white": {"ds_target": 1e-4}})
+    cf = white.init(mesh)
+
+    co = mesh.flat_coords()
+    cd = co.copy()
+    for it in range(2):
+        if it > 0:
+            mesh.set_flat_coords(co)
+            white.update(cf, mesh)
+        co = oracle.solve(co, cf)
+        cd = device.solve(cd, cf)
+        err = np.abs(co - cd).max()
+        assert err < 1e-9, f"white parity mismatch at iter {it}: {err:.3e}"
