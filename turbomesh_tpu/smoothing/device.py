@@ -249,6 +249,7 @@ class DeviceSmoother:
                  restart: int = 30, max_restarts: int = 400,
                  max_iters: int | None = None):
         self.plan = build_plan(mesh, info)
+        self._block_sizes = [b.size for b in mesh.blocks]
         self._mesh = mesh
         self._info = info
         self._oracle = None
@@ -295,6 +296,8 @@ class DeviceSmoother:
         self._jit_inner = jax.jit(self._stage_inner)
         self._jit_A32 = jax.jit(self._stage_A32)
         self._jit_Minv = jax.jit(self._stage_Minv)
+        self._jit_Minv_finish = jax.jit(self._stage_Minv_finish)
+        self._host_vcycle = None
         self._jit_finish = jax.jit(self._stage_finish)
 
     # -- residual / operator --------------------------------------------------
@@ -488,8 +491,12 @@ class DeviceSmoother:
         else:
             z = jnp.zeros((0,), jnp.float32)
             ch = (z, z, z)
+        from .multigrid import build_levels
+
+        levels = build_levels(baseX32, cf32, [b for b in self._block_sizes])
         return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
-                    lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch)
+                    lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
+                    mg=[dict(lv) for lv in levels])
 
     def _stage_A32(self, ctx, v):
         """f32 linear operator application (jitted separately)."""
@@ -500,104 +507,91 @@ class DeviceSmoother:
                            with_offsets=jnp.float32(0.0))
 
     def _stage_Minv(self, ctx, vflat):
-        """f32 ADI+chain preconditioner application (jitted separately)."""
-        from .krylov import thomas, tridiag_solve, apply_line_precond, \
-            apply_line_precond_i
+        """f32 preconditioner: multigrid V-cycle on block interiors +
+        Jacobi on boundary free rows + connection-chain tridiagonal solves."""
+        from .krylov import thomas
+        from .multigrid import v_cycle, MGLevel
 
         p32 = self._jnp_plan32
         B, N, M = self.plan.B, self.plan.N, self.plan.M
         diag_field = ctx["diag"]
-        dl_j, d_j, du_j = ctx["lj"]
-        dl_i, d_i, du_i = ctx["li"]
         ch_l, ch_d, ch_u = ctx["chain"]
         (c_row, *_rest) = p32["c"]
         c_seg, c_seg_valid = p32["cseg"]
         have_chains = c_row.shape[0] > 0
-
-        def overwrite_chains(out_field, vf):
-            if not have_chains:
-                return out_field
-            vmask = c_seg_valid
-            seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
-            seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
-            seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
-            chain_rows = c_row[c_seg]
-            rhs = jnp.where(vmask[..., None], vf[chain_rows], 0.0)
-            sol = thomas(seg_dl, seg_d, seg_du, rhs)
-            outf = out_field.reshape(-1, 2)
-            cur = outf[chain_rows]
-            upd = jnp.where(vmask[..., None], sol - cur, 0.0)
-            return outf.at[chain_rows].add(upd).reshape(out_field.shape)
+        levels = [MGLevel(lv) for lv in ctx["mg"]]
 
         v = vflat.reshape(B, N, M, 2)
-        z1 = apply_line_precond_i(dl_i, d_i, du_i, diag_field,
-                                  p32["free_mask"], p32["interior_mask"], v)
-        z1 = overwrite_chains(z1, vflat)
-        r = vflat - self._stage_A32(ctx, z1.reshape(-1, 2))
-        z2 = apply_line_precond(dl_j, d_j, du_j, diag_field,
-                                p32["free_mask"], p32["interior_mask"],
-                                r.reshape(B, N, M, 2))
-        z2 = overwrite_chains(z2, r.reshape(-1, 2))
-        return (z1 + z2).reshape(-1, 2)
+        interior = p32["interior_mask"]
 
-    def _stage_inner(self, ctx, cf_pad, r64):
-        """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
-        from .krylov import (restarted_gmres, thomas, apply_line_precond,
-                             apply_line_precond_i)
+        z = v_cycle(levels, jnp.where(interior[..., None], v, 0.0))
+        inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
+        z = jnp.where(interior[..., None], z, v * inv_diag)
+        z = jnp.where(p32["free_mask"], z, 0.0)
 
-        p32 = self._jnp_plan32
-        B, N, M = self.plan.B, self.plan.N, self.plan.M
-        baseF32 = ctx["baseF32"]
-        baseX32 = baseF32.reshape(B, N, M, 2)
-        cf32 = ctx["cf32"]
-        diag_field = ctx["diag"]
-        dl_j, d_j, du_j = ctx["lj"]
-        dl_i, d_i, du_i = ctx["li"]
-        ch_l, ch_d, ch_u = ctx["chain"]
-
-        (c_row, *_rest) = p32["c"]
-        c_seg, c_seg_valid = p32["cseg"]
-        have_chains = c_row.shape[0] > 0
         if have_chains:
             vmask = c_seg_valid
             seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
             seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
             seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
             chain_rows = c_row[c_seg]
+            vf = vflat
+            rhs = jnp.where(vmask[..., None], vf[chain_rows], 0.0)
+            sol = thomas(seg_dl, seg_d, seg_du, rhs)
+            zf = z.reshape(-1, 2)
+            cur = zf[chain_rows]
+            upd = jnp.where(vmask[..., None], sol - cur, 0.0)
+            z = zf.at[chain_rows].add(upd).reshape(z.shape)
 
-        def A32(v):
-            return self._apply(baseX32, baseF32, cf32, v, with_offsets=False)
+        return z.reshape(-1, 2)
 
-        def overwrite_chains(out_field, vflat):
-            if not have_chains:
-                return out_field
+    def _stage_Minv_finish(self, ctx, vflat, z_interior):
+        """Boundary part of the preconditioner around a given interior
+        correction: Jacobi on boundary free rows + chain solves (small jit)."""
+        from .krylov import thomas
+
+        p32 = self._jnp_plan32
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        diag_field = ctx["diag"]
+        ch_l, ch_d, ch_u = ctx["chain"]
+        (c_row, *_rest) = p32["c"]
+        c_seg, c_seg_valid = p32["cseg"]
+        have_chains = c_row.shape[0] > 0
+
+        v = vflat.reshape(B, N, M, 2)
+        interior = p32["interior_mask"]
+        inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
+        z = jnp.where(interior[..., None], z_interior, v * inv_diag)
+        z = jnp.where(p32["free_mask"], z, 0.0)
+
+        if have_chains:
+            vmask = c_seg_valid
+            seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
+            seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
+            seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
+            chain_rows = c_row[c_seg]
             rhs = jnp.where(vmask[..., None], vflat[chain_rows], 0.0)
             sol = thomas(seg_dl, seg_d, seg_du, rhs)
-            outf = out_field.reshape(-1, 2)
-            cur = outf[chain_rows]
+            zf = z.reshape(-1, 2)
+            cur = zf[chain_rows]
             upd = jnp.where(vmask[..., None], sol - cur, 0.0)
-            return outf.at[chain_rows].add(upd).reshape(out_field.shape)
+            z = zf.at[chain_rows].add(upd).reshape(z.shape)
 
-        def M_inv(vflat):
-            v = vflat.reshape(B, N, M, 2)
-            z1 = apply_line_precond_i(dl_i, d_i, du_i, diag_field,
-                                      p32["free_mask"], p32["interior_mask"], v)
-            z1 = overwrite_chains(z1, vflat)
-            r = vflat - A32(z1.reshape(-1, 2))
-            z2 = apply_line_precond(dl_j, d_j, du_j, diag_field,
-                                    p32["free_mask"], p32["interior_mask"],
-                                    r.reshape(B, N, M, 2))
-            z2 = overwrite_chains(z2, r.reshape(-1, 2))
-            return (z1 + z2).reshape(-1, 2)
+        return z.reshape(-1, 2)
 
+    def _stage_inner(self, ctx, cf_pad, r64):
+        """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
+        from .krylov import restarted_gmres
+
+        diag_field = ctx["diag"]
         row_diag = diag_field.reshape(-1, 2)
         inv_row = 1.0 / row_diag
 
         def A_s(v):
-            return inv_row * A32(v)
+            return inv_row * self._stage_A32(ctx, v)
 
         def M_inv_s(v):
-            return M_inv(row_diag * v)
+            return self._stage_Minv(ctx, row_diag * v)
 
         r32 = inv_row * r64.astype(jnp.float32)
         d32, _ = restarted_gmres(
@@ -612,23 +606,30 @@ class DeviceSmoother:
         Xf1 = baseF + jnp.where(free64, delta, 0.0)
         return self._substitute(Xf1, with_offsets=True)
 
-    # Fused-program slot threshold: above this the single fused f32 GMRES
-    # program has been observed to crash the TPU runtime's remote compiler;
-    # fall back to host-orchestrated GMRES over separately-jitted pieces.
-    FUSED_INNER_MAX_SLOTS = 1_500_000
-
     def _inner_solve(self, ctx, C, rpad):
         import os
 
         from .krylov import host_gmres
 
-        p = self.plan
-        slots = p.B * p.N * p.M
+        # The single fused GMRES program (while_loop over the full V-cycle
+        # preconditioner) reliably crashes the current TPU runtime's remote
+        # compiler; run it fused only on CPU (tests/virtual meshes), and
+        # host-orchestrated over separately-jitted pieces on accelerators.
         force = os.environ.get("TURBOMESH_FUSED_INNER")
-        fused = (slots <= self.FUSED_INNER_MAX_SLOTS if force is None
+        fused = (jax.devices()[0].platform == "cpu" if force is None
                  else force == "1")
         if fused:
             return self._jit_inner(ctx, C, rpad)
+
+        from .multigrid import HostVCycle, MGLevel
+
+        p = self.plan
+        B, N, M = p.B, p.N, p.M
+        if self._host_vcycle is None:
+            self._host_vcycle = HostVCycle(
+                [MGLevel(lv) for lv in ctx["mg"]])
+        else:
+            self._host_vcycle.levels = [MGLevel(lv) for lv in ctx["mg"]]
 
         row_diag = ctx["diag"].reshape(-1, 2)
         inv_row = 1.0 / row_diag
@@ -637,7 +638,9 @@ class DeviceSmoother:
             return inv_row * self._jit_A32(ctx, v)
 
         def M_s(v):
-            return self._jit_Minv(ctx, row_diag * v)
+            vflat = row_diag * v
+            z = self._host_vcycle(vflat.reshape(B, N, M, 2))
+            return self._jit_Minv_finish(ctx, vflat, z)
 
         r32 = inv_row * rpad.astype(jnp.float32)
         d32, _ = host_gmres(A_s, M_s, r32, rtol=1e-6, atol=0.0,
@@ -648,55 +651,106 @@ class DeviceSmoother:
     # -- host API (matches SparseSystem.solve) --------------------------------
 
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
-        """Mixed-precision iterative refinement.
+        """One linearized Picard solve, architected for a high-latency
+        accelerator link:
 
-        The f64 outer loop (exact residuals of the reference discretization)
-        runs on host against the sparse assembly — cheap SpMVs; the f32
-        inner Krylov solve (all the iteration work) runs on TPU. f64 on the
-        current TPU runtime is emulated, with pathologically slow and
-        fragile compiles for gather/scatter programs, so keeping the outer
-        loop on host is both faster and robust; accuracy is identical
-        (the host assembly IS the oracle discretization).
+        - the Krylov loop (restarted GMRES) runs on HOST in exact f64 —
+          operator applications use the native C++ kernels (host_ops), so
+          they cost ~ms and no device round-trip;
+        - the preconditioner is ONE fused TPU program per application: a
+          full multigrid V-cycle over the padded block stack in f32
+          (slicing-only program — compiles reliably); perimeter rows
+          (connection chains / junctions / sliding) are preconditioned on
+          host (they are perimeter-sized);
+        - row equilibration as in the fused path.
         """
         from .host_ops import HostOperator
+        from .krylov import numpy_gmres
+        from .multigrid import build_levels, make_fused_vcycle
 
         p = self.plan
-        # f64 host side: matrix-free application of the exact reference
-        # discretization with coefficients frozen at the substituted base
-        # (C++/OpenMP interior kernel; perimeter rows in NumPy)
+        info = self._info
+
         base = coords.copy()
-        base[self._info.slave_ids] = (base[self._info.master_ids]
-                                      + self._info.slave_offsets)
-        op = HostOperator(self._mesh, self._info, base, cf)
-
-        # f32 TPU side: inner-solver context at the same frozen base
-        Xpad = np.zeros((p.B * p.N * p.M, 2))
-        Xpad[p.scatter_idx] = base
-        cf_pad = np.zeros((p.B * p.N * p.M, 2))
-        cf_pad[p.scatter_idx] = cf
-        baseF = jnp.asarray(Xpad)
-        C = jnp.asarray(cf_pad.reshape(p.B, p.N, p.M, 2))
-        ctx = self._jit_prepare32(baseF, C)
-
+        base[info.slave_ids] = base[info.master_ids] + info.slave_offsets
+        op = HostOperator(self._mesh, info, base, cf)
         freeg = op.free
-        r0 = -op.residual(base)
-        bnorm = float(np.linalg.norm(r0))
-        tol = max(self.rtol * bnorm, self.atol)
+        diag = op.row_diag()
+        inv_diag = 1.0 / diag
 
-        x = base.copy()
-        rnorm = bnorm
-        r = r0
-        for _ in range(12):
-            if rnorm <= tol:
-                break
-            rpad = np.zeros((p.B * p.N * p.M, 2))
-            rpad[p.scatter_idx] = r
-            d = np.asarray(self._inner_solve(ctx, C, jnp.asarray(rpad)))
-            x = x + np.where(freeg, d[p.scatter_idx], 0.0)
-            op.substitute(x)
-            r = -op.residual(x)
-            rnorm = float(np.linalg.norm(r))
-        self.last_linear_residual = rnorm
+        # fused TPU V-cycle at the frozen base (f32)
+        Xpad = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
+        Xpad[p.scatter_idx] = base
+        cfpad = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
+        cfpad[p.scatter_idx] = cf
+        levels = build_levels(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
+                              jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)),
+                              self._block_sizes)
+        vcycle = make_fused_vcycle(levels)
 
-        op.substitute(x)
+        # host perimeter preconditioning data
+        chains = []
+        for g0, cols, coefs, rhs in op._conn:
+            chains.append((g0, coefs[:, 3], coefs[:, 4], coefs[:, 5]))
+        lap_rows = [(gid, -(len(st) - 1.0)) for gid, st, w, r_ in op._lap]
+        sl_rows = info.sliding_ids
+
+        interior_free = np.zeros(p.B * p.N * p.M, dtype=bool)
+        interior_free[p.scatter_idx] = info.kind == 0  # Kind.INTERIOR
+        interior_global = (info.kind == 0)
+
+        def thomas_np(dl, d, du, rhs):
+            n = len(d)
+            cp = np.zeros(n)
+            dp = np.zeros((n, 2))
+            beta = d[0]
+            cp[0] = du[0] / beta
+            dp[0] = rhs[0] / beta
+            for i in range(1, n):
+                beta = d[i] - dl[i] * cp[i - 1]
+                cp[i] = du[i] / beta
+                dp[i] = (rhs[i] - dl[i] * dp[i - 1]) / beta
+            x = dp.copy()
+            for i in range(n - 2, -1, -1):
+                x[i] -= cp[i] * x[i + 1]
+            return x
+
+        def M_inv(v):
+            # interior: one fused V-cycle on device
+            vp = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
+            vp[p.scatter_idx] = np.where(interior_global[:, None], v, 0.0)
+            z = np.asarray(vcycle(jnp.asarray(vp.reshape(p.B, p.N, p.M, 2))),
+                           dtype=np.float64).reshape(-1, 2)[p.scatter_idx]
+            out = np.where(interior_global[:, None], z, v * inv_diag)
+            for g0, dl, d, du in chains:
+                out[g0] = thomas_np(dl, d, du, v[g0])
+            for gid, dval in lap_rows:
+                out[gid] = v[gid] / dval
+            out[sl_rows, 1] = v[sl_rows, 1]
+            return np.where(freeg, out, 0.0)
+
+        # linear operator (zero-offset slave substitution, affine part removed)
+        F0 = op.residual(np.zeros_like(base))
+
+        def A(v):
+            vs = v.copy()
+            vs[info.slave_ids] = vs[info.master_ids]
+            return op.residual(vs) - F0
+
+        # equilibrated right-preconditioned system
+        def A_s(v):
+            return inv_diag * A(v)
+
+        def M_s(v):
+            return M_inv(diag * v)
+
+        b = -op.residual(base)
+        b_s = inv_diag * b
+        delta_s, rn = numpy_gmres(A_s, M_s, b_s, rtol=self.rtol,
+                                  atol=self.atol, restart=self.restart,
+                                  max_restarts=self.max_restarts)
+        self.last_linear_residual = rn
+
+        x = base + np.where(freeg, delta_s, 0.0)
+        x[info.slave_ids] = x[info.master_ids] + info.slave_offsets
         return x

@@ -77,6 +77,29 @@ class HostOperator:
                       lp.rhs)
                      for lp in info.laplacian_points]
 
+    def row_diag(self) -> np.ndarray:
+        """Diagonal of the frozen system over free rows (1 elsewhere) — used
+        to equilibrate residual norms: raw row scales differ by ~1e8 between
+        tiny-cell stencil rows (~cell area) and equality/junction rows (~1),
+        so an unscaled norm hides errors in clustered boundary layers."""
+        d = np.ones((self.P, 2))
+        for (ni, nj), s in zip(self.sizes, self.starts):
+            n = ni * nj
+            base_b = self.base[s : s + n].reshape(ni, nj, 2)
+            x_xi = 0.5 * (base_b[2:, 1:-1] - base_b[:-2, 1:-1])
+            x_eta = 0.5 * (base_b[1:-1, 2:] - base_b[1:-1, :-2])
+            g11 = np.sum(x_xi * x_xi, axis=-1)
+            g22 = np.sum(x_eta * x_eta, axis=-1)
+            db = d[s : s + n].reshape(ni, nj, 2)
+            db[1:-1, 1:-1] = (-2.0 * (g11 + g22))[..., None]
+        for g0, cols, coefs, rhs in self._conn:
+            d[g0] = coefs[:, 4][:, None]  # c_ij slot
+        for gid, stencil, w, rhs in self._lap:
+            d[gid] = -(len(stencil) - 1.0)
+        sl = self.info.sliding_ids
+        d[sl, 1] = 1.0
+        return np.where(self.free & (d != 0.0), d, 1.0)
+
     def substitute(self, x: np.ndarray) -> np.ndarray:
         info = self.info
         x[info.slave_ids] = x[info.master_ids] + info.slave_offsets

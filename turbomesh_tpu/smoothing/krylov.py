@@ -326,3 +326,50 @@ def apply_line_precond(dl, d, du, diag_field, free_mask, interior_mask, v):
     inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
     out = jnp.where(interior_mask[..., None], sol, v * inv_diag)
     return jnp.where(free_mask, out, 0.0)
+
+
+def numpy_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
+    """Restarted right-preconditioned GMRES in pure NumPy f64.
+
+    For the host-Krylov architecture: A is a cheap host operator (native
+    C++ kernels), M_inv may dispatch to the accelerator. Basis vectors
+    live in host memory (no device memory pressure at scale)."""
+    import numpy as onp
+
+    bnorm = float(onp.linalg.norm(b))
+    tol = max(rtol * bnorm, atol)
+    m = restart
+    x = onp.zeros_like(b)
+    rn = bnorm
+    for _ in range(max_restarts):
+        r = b - A(x)
+        beta = float(onp.linalg.norm(r))
+        rn = beta
+        if beta <= tol:
+            break
+        V = [r / beta]
+        H = onp.zeros((m + 1, m))
+        k_used = m
+        for k in range(m):
+            w = A(M_inv(V[k]))
+            for i in range(k + 1):
+                hik = float(onp.vdot(V[i], w))
+                H[i, k] = hik
+                w = w - hik * V[i]
+            hk1 = float(onp.linalg.norm(w))
+            H[k + 1, k] = hk1
+            if hk1 <= 1e-300:
+                k_used = k + 1
+                break
+            V.append(w / hk1)
+        e1 = onp.zeros(m + 1)
+        e1[0] = beta
+        y, *_ = onp.linalg.lstsq(H[: k_used + 1, :k_used], e1[: k_used + 1],
+                                 rcond=None)
+        dx = V[0] * y[0]
+        for i in range(1, k_used):
+            dx = dx + y[i] * V[i]
+        x = x + M_inv(dx)
+    else:
+        rn = float(onp.linalg.norm(b - A(x)))
+    return x, rn

@@ -1,0 +1,255 @@
+"""Geometric multigrid V-cycle preconditioner for the Winslow system.
+
+Line-implicit (ADI) smoothing alone leaves the smooth error modes of each
+block untouched, so Krylov iteration counts grow ~O(N) with block size
+(SURVEY.md §7.3 item 6). The fix is the classic structured-grid ladder:
+each block is coarsened 2x per level (the padded block stack coarsens as
+one batched array), the Winslow operator is rediscretized from the
+sampled base coordinates, line smoothers run on every level, and the
+correction is prolonged back bilinearly.
+
+Scope: the V-cycle solves the *interior* correction equations of each
+block with zero-Dirichlet block boundaries; inter-block coupling
+(connection/junction/sliding rows) is handled on the finest level by the
+surrounding preconditioner stages and the outer Krylov iteration.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .krylov import build_line_precond, build_line_precond_i, tridiag_solve
+
+
+def _coarse_size(n: int) -> int:
+    return (n - 1) // 2 + 1
+
+
+class MGLevel(dict):
+    """Plain-dict level record (pytree-compatible for jit closure/args)."""
+
+    def __getattr__(self, key):
+        try:
+            return self[key]
+        except KeyError:
+            raise AttributeError(key) from None
+
+
+jax.tree_util.register_pytree_node(
+    MGLevel,
+    lambda d: (tuple(d[k] for k in sorted(d)), tuple(sorted(d))),
+    lambda keys, vals: MGLevel(zip(keys, vals)),
+)
+
+
+def build_levels(base, cf, block_sizes, n_levels=None, min_size=5):
+    """Build the multigrid hierarchy from the padded (B, N, M, 2) base.
+
+    block_sizes: list of (ni, nj) actual block extents at the finest level.
+    """
+    B, N, M = base.shape[:3]
+    levels = []
+    sizes = list(block_sizes)
+    lvl = 0
+    while True:
+        interior = np.zeros((B, N, M), dtype=bool)
+        for b, (ni, nj) in enumerate(sizes):
+            if ni >= 3 and nj >= 3:
+                interior[b, 1 : ni - 1, 1 : nj - 1] = True
+        interior_j = jnp.asarray(interior)
+
+        x_xi = 0.5 * (base[:, 2:, 1:-1] - base[:, :-2, 1:-1])
+        x_eta = 0.5 * (base[:, 1:-1, 2:] - base[:, 1:-1, :-2])
+        g11 = jnp.sum(x_xi * x_xi, axis=-1)
+        g22 = jnp.sum(x_eta * x_eta, axis=-1)
+        d = jnp.pad(-2.0 * (g11 + g22), ((0, 0), (1, 1), (1, 1)))
+        diag = jnp.where(interior_j, d, 1.0)
+        diag = jnp.where(diag == 0.0, 1.0, diag)
+
+        diag_field = jnp.broadcast_to(diag[..., None], diag.shape + (2,))
+        lj = build_line_precond(base, cf, diag_field, interior_j)
+        li = build_line_precond_i(base, cf, diag_field, interior_j)
+
+        levels.append(MGLevel(base=base, cf=cf, interior=interior_j,
+                              diag=diag, lj=lj, li=li))  # dict subclass
+
+        if (n_levels is not None and len(levels) >= n_levels) or \
+           min(N, M) <= min_size or \
+           all(min(ni, nj) <= min_size for ni, nj in sizes):
+            break
+        # coarsen by stride-2 sampling
+        base = base[:, ::2, ::2, :]
+        cf = cf[:, ::2, ::2, :]
+        N, M = base.shape[1:3]
+        sizes = [(_coarse_size(ni), _coarse_size(nj)) for ni, nj in sizes]
+        lvl += 1
+
+    return levels
+
+
+def _apply_interior(level: MGLevel, v):
+    """Winslow interior stencil at this level (zero outside interior)."""
+    base = level.base
+    x_xi = 0.5 * (base[:, 2:, 1:-1] - base[:, :-2, 1:-1])
+    x_eta = 0.5 * (base[:, 1:-1, 2:] - base[:, 1:-1, :-2])
+    g11 = jnp.sum(x_xi * x_xi, axis=-1)[..., None]
+    g22 = jnp.sum(x_eta * x_eta, axis=-1)[..., None]
+    g12 = jnp.sum(x_xi * x_eta, axis=-1)[..., None]
+    P = level.cf[:, 1:-1, 1:-1, 0][..., None]
+    Q = level.cf[:, 1:-1, 1:-1, 1][..., None]
+
+    out = (
+        (-2.0 * g22 - 2.0 * g11) * v[:, 1:-1, 1:-1]
+        + g22 * (1 + 0.5 * P) * v[:, 2:, 1:-1]
+        + g22 * (1 - 0.5 * P) * v[:, :-2, 1:-1]
+        + g11 * (1 + 0.5 * Q) * v[:, 1:-1, 2:]
+        + g11 * (1 - 0.5 * Q) * v[:, 1:-1, :-2]
+        - 0.5 * g12 * v[:, 2:, 2:]
+        + 0.5 * g12 * v[:, 2:, :-2]
+        + 0.5 * g12 * v[:, :-2, 2:]
+        - 0.5 * g12 * v[:, :-2, :-2]
+    )
+    out = jnp.pad(out, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.where(level.interior[..., None], out, 0.0)
+
+
+def _smooth(level: MGLevel, r, z):
+    """One ADI pass: z += Mi^-1 (r - A z) then z += Mj^-1 (r - A z).
+
+    lj factors couple along the j (last grid) axis and solve in place;
+    li factors couple along i and need the axes swapped around the solve.
+    """
+    mask = level.interior[..., None]
+
+    def line_j(factors, rr):
+        dl, d, du = factors
+        return jnp.where(mask, tridiag_solve(dl, d, du, rr), 0.0)
+
+    def line_i(factors, rr):
+        dl, d, du = factors
+        sol = tridiag_solve(jnp.swapaxes(dl, 1, 2), jnp.swapaxes(d, 1, 2),
+                            jnp.swapaxes(du, 1, 2), jnp.swapaxes(rr, 1, 2))
+        return jnp.where(mask, jnp.swapaxes(sol, 1, 2), 0.0)
+
+    z = z + line_i(level.li, jnp.where(mask, r - _apply_interior(level, z), 0.0))
+    z = z + line_j(level.lj, jnp.where(mask, r - _apply_interior(level, z), 0.0))
+    return z
+
+
+def _restrict(r, coarse_shape):
+    """Full-weighting restriction onto the stride-2 coarse grid."""
+    B, Nc, Mc = coarse_shape
+    # pad fine so that 2i+1 indexing is valid at the far edge
+    rp = jnp.pad(r, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # fine index f = 2c; in padded coords f+1 = 2c+1
+    def at(di, dj):
+        return rp[:, 1 + di : 1 + di + 2 * Nc - 1 : 2,
+                  1 + dj : 1 + dj + 2 * Mc - 1 : 2, :]
+
+    out = (4.0 * at(0, 0)
+           + 2.0 * (at(1, 0) + at(-1, 0) + at(0, 1) + at(0, -1))
+           + (at(1, 1) + at(1, -1) + at(-1, 1) + at(-1, -1))) / 16.0
+    return out
+
+
+def _prolong(zc, fine_shape):
+    """Bilinear prolongation from the stride-2 coarse grid."""
+    B, Nf, Mf = fine_shape
+    Nc, Mc = zc.shape[1:3]
+    z = jnp.zeros((B, Nf, Mf, 2), zc.dtype)
+    z = z.at[:, : 2 * Nc - 1 : 2, : 2 * Mc - 1 : 2, :].set(zc)
+    # odd i rows: average vertical coarse neighbors
+    zi = 0.5 * (z[:, : Nf - 2 : 2, :, :] + z[:, 2::2, :, :])
+    z = z.at[:, 1 : Nf - 1 : 2, :, :].set(zi[:, : (Nf - 1) // 2, :, :])
+    # odd j cols: average horizontal neighbors (covers diagonals too since
+    # odd-i rows are already filled)
+    zj = 0.5 * (z[:, :, : Mf - 2 : 2, :] + z[:, :, 2::2, :])
+    z = z.at[:, :, 1 : Mf - 1 : 2, :].set(zj[:, :, : (Mf - 1) // 2, :])
+    return z
+
+
+def v_cycle(levels, r, level_idx=0, pre=1, post=1, coarse_iters=8):
+    """Multigrid V-cycle solving A z ~= r on the interior (zero-Dirichlet).
+
+    Static recursion — unrolls into a single jittable program.
+    """
+    level = levels[level_idx]
+    mask = level.interior[..., None]
+    r = jnp.where(mask, r, 0.0)
+    z = jnp.zeros_like(r)
+
+    if level_idx == len(levels) - 1:
+        for _ in range(coarse_iters):
+            z = _smooth(level, r, z)
+        return z
+
+    for _ in range(pre):
+        z = _smooth(level, r, z)
+
+    res = jnp.where(mask, r - _apply_interior(level, z), 0.0)
+    coarse = levels[level_idx + 1]
+    # undivided stencils scale as h^4 (metric terms g ~ h^2 times an
+    # undivided second difference ~ h^2), so A_c ~ 16 A_f on smooth modes
+    # and the restricted residual needs the factor 16
+    rc = 16.0 * _restrict(res, coarse.interior.shape)
+    zc = v_cycle(levels, rc, level_idx + 1, pre, post, coarse_iters)
+    z = z + jnp.where(mask, _prolong(zc, level.interior.shape), 0.0)
+
+    for _ in range(post):
+        z = _smooth(level, r, z)
+    return z
+
+
+class HostVCycle:
+    """V-cycle with host-side recursion over per-level jitted kernels.
+
+    The fully-fused V-cycle program is too large for some TPU runtimes'
+    compilers; here each level's smoother/residual/transfer compiles as its
+    own small program (cached per level shape) and the recursion runs in
+    Python. ~6 device calls per level per cycle.
+    """
+
+    def __init__(self, levels, pre=1, post=1, coarse_iters=8):
+        self.levels = levels
+        self.pre = pre
+        self.post = post
+        self.coarse_iters = coarse_iters
+        self._smooth = jax.jit(_smooth)
+        self._apply = jax.jit(_apply_interior)
+        self._restrict = jax.jit(_restrict, static_argnums=(1,))
+        self._prolong = jax.jit(_prolong, static_argnums=(1,))
+
+    def __call__(self, r, lidx: int = 0):
+        level = self.levels[lidx]
+        mask = level.interior[..., None]
+        r = jnp.where(mask, r, 0.0)
+        z = jnp.zeros_like(r)
+
+        if lidx == len(self.levels) - 1:
+            for _ in range(self.coarse_iters):
+                z = self._smooth(level, r, z)
+            return z
+
+        for _ in range(self.pre):
+            z = self._smooth(level, r, z)
+        res = jnp.where(mask, r - self._apply(level, z), 0.0)
+        coarse = self.levels[lidx + 1]
+        rc = 16.0 * self._restrict(res, tuple(coarse.interior.shape))
+        zc = self(rc, lidx + 1)
+        z = z + jnp.where(mask, self._prolong(zc, tuple(level.interior.shape)), 0.0)
+        for _ in range(self.post):
+            z = self._smooth(level, r, z)
+        return z
+
+
+def make_fused_vcycle(levels, pre=1, post=1, coarse_iters=8):
+    """One jitted program for the whole V-cycle (slicing/pad ops only —
+    compiles reliably where gather/scatter-heavy programs do not)."""
+
+    @jax.jit
+    def run(r):
+        return v_cycle(levels, r, 0, pre, post, coarse_iters)
+
+    return run

@@ -79,7 +79,10 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
         if backend == "device":
             from .device import DeviceSmoother
 
-            smoother = DeviceSmoother(mesh, info, rtol=1e-10, atol=1e-12)
+            # inexact Picard: 1e-4 relative reduction per linearized solve
+            # plus an absolute equilibrated floor ~displacement units that
+            # pins the fixed point at the 1e-10-class acceptance bar
+            smoother = DeviceSmoother(mesh, info, rtol=1e-4, atol=1e-11)
         else:
             smoother = SparseSystem(mesh, info)
 
