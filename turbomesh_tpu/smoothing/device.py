@@ -686,7 +686,10 @@ class DeviceSmoother:
         levels = build_levels(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
                               jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)),
                               self._block_sizes)
-        vcycle = make_fused_vcycle(levels)
+        # heavier smoothing per cycle (rate ~0.35 on boundary-layer blocks
+        # vs 0.57 at 1/1/8) trades cheap on-chip work for fewer Krylov
+        # round-trips — the binding cost on a high-latency link
+        vcycle = make_fused_vcycle(levels, pre=2, post=2, coarse_iters=16)
 
         # host perimeter preconditioning data
         chains = []
