@@ -46,7 +46,7 @@ def build_mesh(scale_cells: int = 4):
             }},
         },
     }
-    inp = input_mod.load(cfg, base_dir="/root/reference")
+    inp = input_mod.load(cfg, base_dir="/root/repo")
     return inp.template.run(inp.geometry)
 
 

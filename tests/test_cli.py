@@ -41,7 +41,7 @@ def test_version():
 def test_end_to_end_with_smoothing(tmp_path):
     out = tmp_path / "t106.npz"
     ckpt = tmp_path / "ckpt.npz"
-    r = run_cli("/root/reference/examples/T106/T106.json",
+    r = run_cli("/root/repo/examples/T106/T106.json",
                 "--iterations", "2", "--output", str(out),
                 "--checkpoint", str(ckpt), "--target-residual", "1e-30")
     assert r.returncode == 0, r.stderr

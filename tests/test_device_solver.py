@@ -104,7 +104,7 @@ def test_o4h_small_parity():
             }},
         },
     }
-    inp = input_mod.load(cfg, base_dir="/root/reference")
+    inp = input_mod.load(cfg, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     _compare(mesh, picard_iters=2, atol=1e-9)
 
@@ -134,7 +134,7 @@ def test_o4h_white_parity():
             }},
         },
     }
-    inp = input_mod.load(cfg, base_dir="/root/reference")
+    inp = input_mod.load(cfg, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     info = classify(mesh)
     oracle = SparseSystem(mesh, info)

@@ -79,8 +79,8 @@ def test_t106_blade_arc_length():
     polyline length of the input data within 0.5% (a smooth fit through
     dense blade data adds negligible length)."""
     for path in (
-        "/root/reference/examples/T106/T106_ss.dat",
-        "/root/reference/examples/T106/T106_ps.dat",
+        "/root/repo/examples/T106/T106_ss.dat",
+        "/root/repo/examples/T106/T106_ps.dat",
     ):
         pts = _read_side(path)
         s = FittingSpline(pts)
@@ -90,7 +90,7 @@ def test_t106_blade_arc_length():
 
 def test_csv_parse_endpoints():
     """csv.zig:59-67 — first/last points of T106_ps.dat parse exactly."""
-    data = parse_csv_points("/root/reference/examples/T106/T106_ps.dat")
+    data = parse_csv_points("/root/repo/examples/T106/T106_ps.dat")
     np.testing.assert_array_equal(data[0], [1.127030384, -0.047185256])
     np.testing.assert_array_equal(data[-1], [1.047805900, 0.000076595])
 

@@ -33,18 +33,18 @@ def check(mesh, golden_path, atol):
 
 
 @pytest.mark.parametrize("label,config", [
-    ("t106", "/root/reference/examples/T106/T106.json"),
-    ("ls89", "/root/reference/examples/LS89/LS89.json"),
+    ("t106", "/root/repo/examples/T106/T106.json"),
+    ("ls89", "/root/repo/examples/LS89/LS89.json"),
 ])
 def test_blocking_golden(label, config):
-    inp = input_mod.load(config, base_dir="/root/reference")
+    inp = input_mod.load(config, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     check(mesh, f"{GOLDEN}/{label}_tfi.npz", atol=0.0)  # bitwise
 
 
 def test_smoothed_golden():
-    inp = input_mod.load("/root/reference/examples/T106/T106.json",
-                         base_dir="/root/reference")
+    inp = input_mod.load("/root/repo/examples/T106/T106.json",
+                         base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     smooth_mesh(mesh, iterations=3, solver="direct",
                 wall_control_function=inp.smoothing.wall_control_function)

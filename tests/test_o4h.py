@@ -9,19 +9,19 @@ from turbomesh_tpu import input as input_mod
 from turbomesh_tpu.check import check_connections
 from turbomesh_tpu.io.cgns import write_cgns, read_cgns
 
-LS89 = "/root/reference/examples/LS89/LS89.json"
-T106 = "/root/reference/examples/T106/T106.json"
+LS89 = "/root/repo/examples/LS89/LS89.json"
+T106 = "/root/repo/examples/T106/T106.json"
 
 
 @pytest.fixture(scope="module")
 def t106_mesh():
-    inp = input_mod.load(T106, base_dir="/root/reference")
+    inp = input_mod.load(T106, base_dir="/root/repo")
     return inp, inp.template.run(inp.geometry)
 
 
 @pytest.fixture(scope="module")
 def ls89_mesh():
-    inp = input_mod.load(LS89, base_dir="/root/reference")
+    inp = input_mod.load(LS89, base_dir="/root/repo")
     return inp, inp.template.run(inp.geometry)
 
 

@@ -74,6 +74,6 @@ def test_o4h_eight_devices():
                          "down_csv_path": "examples/T106/T106_ps.dat",
                          "up_csv_path": "examples/T106/T106_ss.dat"}}},
     }
-    inp = input_mod.load(cfg, base_dir="/root/reference")
+    inp = input_mod.load(cfg, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     _compare(mesh, n_devices=min(8, len(jax.devices())), atol=1e-8)

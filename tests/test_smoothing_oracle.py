@@ -128,7 +128,7 @@ def test_two_block_smoothing_keeps_continuity():
 
 
 @pytest.mark.parametrize("config,basedir", [
-    ("/root/reference/examples/T106/T106.json", "/root/reference"),
+    ("/root/repo/examples/T106/T106.json", "/root/repo"),
 ])
 def test_t106_smoothing_end_to_end(config, basedir):
     """Full 8-block T106 with White control function: residual decreases,
