@@ -106,7 +106,7 @@ def test_o4h_small_parity():
     }
     inp = input_mod.load(cfg, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
-    _compare(mesh, picard_iters=2, atol=1e-9)
+    _compare(mesh, picard_iters=2, atol=1e-10)
 
 
 def test_o4h_white_parity():
@@ -151,4 +151,4 @@ def test_o4h_white_parity():
         co = oracle.solve(co, cf)
         cd = device.solve(cd, cf)
         err = np.abs(co - cd).max()
-        assert err < 1e-9, f"white parity mismatch at iter {it}: {err:.3e}"
+        assert err < 1e-10, f"white parity mismatch at iter {it}: {err:.3e}"

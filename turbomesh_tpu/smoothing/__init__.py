@@ -3,14 +3,16 @@
 Reference parity: src/core/smoothing/ (smooth.zig, wall_control_function.zig,
 solver.zig + Krylov backends).
 
-Two interchangeable solver paths produce the same smoothed mesh:
+Interchangeable solver paths produce the same smoothed mesh:
 
 - ``system`` — host-side sparse assembly of the exact reference
-  discretization, solved with a scipy direct factorization. This is the
-  correctness oracle and the small-mesh fallback (replaces the reference's
-  UMFPACK/PETSc direct paths).
-- ``device`` — the TPU path: dense per-block stencil operators with halo
-  exchange, relaxation + Krylov iterations fully on device, shard_map
+  discretization; solved direct (scipy LU — replaces the reference's
+  UMFPACK/PETSc paths and serves as the correctness oracle) or with the
+  host GMRES/BiCGStab Krylov backends + diagonal/ilu0 preconditioning
+  (the reference's gmres/bicgstab options).
+- ``device`` — the TPU path: matrix-free stencil operators on the padded
+  block stack, GMRES + multigrid/line-implicit preconditioning, mixed
+  f32/f64 precision; ``parallel.ShardedSmoother`` adds shard_map
   multi-chip parallelism.
 """
 

@@ -10,8 +10,12 @@ TPU-idiomatic formulation (SURVEY.md §7.1):
   inter-block connection rows, junction rows, sliding rows and slave
   (equality) substitutions are tiny gather/scatters over precomputed
   index plans — the same equations the host oracle assembles sparsely;
-- the linear solve is Jacobi-preconditioned BiCGStab in pure JAX
-  (lax.while_loop), everything jitted and resident on device.
+- the linear solve is restarted GMRES with a multigrid-V-cycle +
+  line-implicit + connection-chain preconditioner: fully fused in JAX
+  (lax.while_loop) where the runtime compiles it, host-orchestrated over
+  separately-jitted device kernels on the tunneled single-chip runtime
+  (see .solve()); inner iterations run equilibrated f32 with f64
+  residual refinement.
 
 Slave (``CONNECTED``) points are eliminated by substitution
 (x_slave = x_master + offset), so the reduced system's solution equals the

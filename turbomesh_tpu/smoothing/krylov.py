@@ -12,9 +12,20 @@ blocks/chips and needs no communication.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("turbomesh.krylov")
+
+
+def _warn_nonconverged(name: str, iters: int, resid: float, tol: float):
+    """Reference behavior: a stalled Krylov solve is a loud warning, not a
+    silent return (GMRES.zig:422, BiCGStab.zig:369)."""
+    log.warning("%s solve did not converge: iter=%d, residual=%.3e (tol %.3e)",
+                name, iters, resid, tol)
 
 
 def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
@@ -151,6 +162,8 @@ def host_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
     else:
         r = b - A(x)
         rn = float(jnp.linalg.norm(r))
+    if rn > tol:
+        _warn_nonconverged("gmres(host)", max_restarts * m, rn, tol)
     return x, rn
 
 
@@ -372,4 +385,66 @@ def numpy_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
         x = x + M_inv(dx)
     else:
         rn = float(onp.linalg.norm(b - A(x)))
+    if rn > tol:
+        _warn_nonconverged("gmres(numpy)", max_restarts * m, rn, tol)
+    return x, rn
+
+
+def numpy_bicgstab(A, M_inv, b, rtol, atol, max_iters, x0=None):
+    """Preconditioned BiCGStab in NumPy f64 — the reference's second
+    user-facing Krylov backend (BiCGStab.zig:279-370): breakdown guards at
+    1e-30, defaults max_iters=1000 / rtol 1e-6 / atol 1e-8, warning on
+    non-convergence. Right-preconditioned (the reference preconditions the
+    residual update, same fixed point)."""
+    import numpy as onp
+
+    x = onp.zeros_like(b) if x0 is None else x0.copy()
+    r = b - A(x)
+    bnorm = float(onp.linalg.norm(b))
+    tol = max(rtol * bnorm, atol)
+    rn = float(onp.linalg.norm(r))
+    if rn <= tol:
+        return x, rn
+    r_hat = r.copy()
+    rho_old = alpha = omega = 1.0
+    v = onp.zeros_like(b)
+    p = onp.zeros_like(b)
+    it = 0
+    for it in range(1, max_iters + 1):
+        rho_new = float(onp.vdot(r_hat, r))
+        if abs(rho_new) < 1e-30:
+            break  # breakdown (BiCGStab.zig rho guard)
+        if it == 1:
+            p = r.copy()
+        else:
+            beta = (rho_new / rho_old) * (alpha / omega)
+            p = r + beta * (p - omega * v)
+        p_hat = M_inv(p)
+        v = A(p_hat)
+        den = float(onp.vdot(r_hat, v))
+        if abs(den) < 1e-30:
+            break
+        alpha = rho_new / den
+        s = r - alpha * v
+        sn = float(onp.linalg.norm(s))
+        if sn <= tol:
+            x = x + alpha * p_hat
+            rn = sn
+            break
+        s_hat = M_inv(s)
+        t = A(s_hat)
+        tt = float(onp.vdot(t, t))
+        if tt < 1e-30:
+            break
+        omega = float(onp.vdot(t, s)) / tt
+        x = x + alpha * p_hat + omega * s_hat
+        r = s - omega * t
+        rn = float(onp.linalg.norm(r))
+        if rn <= tol:
+            break
+        if abs(omega) < 1e-30:
+            break
+        rho_old = rho_new
+    if rn > tol:
+        _warn_nonconverged("bicgstab", it, rn / bnorm if bnorm else rn, tol)
     return x, rn

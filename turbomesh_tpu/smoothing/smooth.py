@@ -5,11 +5,13 @@ control function (n > 0), freeze stencil coefficients at the current
 coordinates, solve the linearized system for new coordinates (x-system then
 y-system), log the displacement-norm residual, copy the solution back.
 
-Solver selection: the reference's JSON options {gmres, bicgstab, umfpack,
-petsc} all converge the same linear systems to tight tolerance; here they
-map to the host direct factorization ("direct", the oracle) or the TPU
-matrix-free path ("device"). Fixed points of the Picard iteration agree to
-solver tolerance ("tolerance-matched", SURVEY.md §7.1).
+Solver selection mirrors the reference's user-facing options
+(solver.zig:10-38): "gmres" and "bicgstab" select the host Krylov
+implementations (with the "preconditioner" sub-option: diagonal | ilu0),
+"umfpack"/"petsc"/"direct" the sparse direct factorization, and
+"device" the TPU matrix-free path. All converge the same linear systems
+to tight tolerance, so Picard fixed points agree to solver tolerance
+("tolerance-matched", SURVEY.md §7.1).
 """
 
 from __future__ import annotations
@@ -35,15 +37,24 @@ class SmoothOptions:
     wall_control_function: object = "laplace"
 
 
-def _solver_name(option) -> str:
-    """Map reference JSON solver options onto our backends."""
+def _solver_name(option) -> tuple[str, str]:
+    """Map reference JSON solver options onto (backend, preconditioner).
+
+    JSON shape (input.zig:29 / solver.zig:18-27): a string tag or a
+    single-key object, e.g. {"gmres": {"preconditioner": "ilu0"}}.
+    """
+    precond = "ilu0"
     if isinstance(option, dict):
-        (tag, _), = option.items()
+        (tag, params), = option.items()
         option = tag
-    if option in ("direct", "umfpack", "petsc", "gmres", "bicgstab"):
-        return "direct"
+        if isinstance(params, dict):
+            precond = params.get("preconditioner", precond)
+    if option in ("direct", "umfpack", "petsc"):
+        return "direct", precond
+    if option in ("gmres", "bicgstab"):
+        return option, precond
     if option in ("device", "jacobi_cg", "sor"):
-        return "device"
+        return "device", precond
     raise ValueError(f"unknown solver option {option!r}")
 
 
@@ -73,7 +84,7 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
     with timer.phase("classify"):
         info = classify(mesh)
     algorithm = cf_from_config(wall_control_function)
-    backend = _solver_name(solver)
+    backend, precond = _solver_name(solver)
 
     with timer.phase("solver_setup"):
         if backend == "device":
@@ -84,7 +95,8 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
             # pins the fixed point at the 1e-10-class acceptance bar
             smoother = DeviceSmoother(mesh, info, rtol=1e-4, atol=1e-11)
         else:
-            smoother = SparseSystem(mesh, info)
+            smoother = SparseSystem(mesh, info, method=backend,
+                                    preconditioner=precond)
 
     cf = algorithm.init(mesh)
     start_iteration = 0

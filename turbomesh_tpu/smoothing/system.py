@@ -60,14 +60,95 @@ def _winslow_coefs(im1_j, ip1_j, i_jm1, i_jp1, P, Q):
     }
 
 
-class SparseSystem:
-    """Assembles and solves the global linear system for one Picard step."""
+def ilu0(A: sp.csr_matrix):
+    """ILU(0): incomplete LU on the existing sparsity pattern — the
+    reference's strong preconditioner (BiCGStab.zig:178-277 / GMRES.zig,
+    marker-array algorithm). Returns (L, U) sparse factors; apply as
+    M_inv = U^-1 L^-1 with unit-diagonal L.
 
-    def __init__(self, mesh, info: BoundaryInfo):
+    Factorization is a per-row host loop (O(nnz) with 9-entry rows);
+    triangular applies use scipy's C solvers.
+    """
+    A = A.copy()
+    A.sort_indices()
+    n = A.shape[0]
+    indptr, indices, data = A.indptr, A.indices, A.data
+    diag_ptr = np.zeros(n, dtype=np.int64)
+    marker = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        r0, r1 = indptr[i], indptr[i + 1]
+        row_cols = indices[r0:r1]
+        dpos = r0 + int(np.searchsorted(row_cols, i))
+        if dpos >= r1 or indices[dpos] != i:
+            # cannot happen for this discretization: every row kind
+            # writes its diagonal
+            raise ValueError(f"row {i} has no diagonal entry")
+        diag_ptr[i] = dpos
+        marker[row_cols] = np.arange(r0, r1)
+        for pj in range(r0, dpos):  # strictly-lower entries, ascending j
+            j = indices[pj]
+            dj = data[diag_ptr[j]]
+            lij = data[pj] / (dj if dj != 0.0 else 1.0)
+            data[pj] = lij
+            # eliminate against row j's upper part where the pattern matches
+            for pk in range(diag_ptr[j] + 1, indptr[j + 1]):
+                pi = marker[indices[pk]]
+                if pi >= 0:
+                    data[pi] -= lij * data[pk]
+        marker[row_cols] = -1
+
+    lower = np.zeros(len(data), dtype=bool)
+    upper = np.zeros(len(data), dtype=bool)
+    for i in range(n):
+        lower[indptr[i] : diag_ptr[i]] = True
+        upper[diag_ptr[i] : indptr[i + 1]] = True
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    L = sp.csr_matrix((data[lower], (rows[lower], indices[lower])), (n, n))
+    L = L + sp.eye(n, format="csr")
+    U = sp.csr_matrix((data[upper], (rows[upper], indices[upper])), (n, n))
+    return L.tocsr(), U.tocsr()
+
+
+def _make_preconditioner(A: sp.csr_matrix, kind: str):
+    """diagonal | ilu0 (preconditioner.zig:1-4) -> M_inv callable."""
+    if kind == "diagonal":
+        d = A.diagonal()
+        inv_d = 1.0 / np.where(d == 0.0, 1.0, d)
+        return lambda v: inv_d * v
+    if kind == "ilu0":
+        L, U = ilu0(A)
+        def M_inv(v):
+            y = spla.spsolve_triangular(L, v, lower=True,
+                                        unit_diagonal=True)
+            return spla.spsolve_triangular(U, y, lower=False)
+        return M_inv
+    raise ValueError(f"unknown preconditioner {kind!r}")
+
+
+class SparseSystem:
+    """Assembles and solves the global linear system for one Picard step.
+
+    method selects the linear solver on the assembled CSR pair, mirroring
+    the reference's user-facing solver options (solver.zig:10-38):
+
+      "direct"    scipy sparse LU (stands in for UMFPACK/PETSc direct)
+      "gmres"     restarted GMRES(30), reference tolerances
+                  (GMRES.zig:21-24: rtol 1e-6, atol 1e-8, max 1000)
+      "bicgstab"  preconditioned BiCGStab (BiCGStab.zig:19-21)
+
+    preconditioner (Krylov methods): "diagonal" or "ilu0"
+    (preconditioner.zig:1-4; ilu0 realized as scipy spilu with zero drop
+    tolerance and unit fill factor — same role, not bit-identical factors).
+    """
+
+    def __init__(self, mesh, info: BoundaryInfo, method: str = "direct",
+                 preconditioner: str = "ilu0"):
         self.info = info
         self.starts = mesh.block_row_starts()
         self.sizes = [b.size for b in mesh.blocks]
         self.P = mesh.num_points
+        self.method = method
+        self.preconditioner = preconditioner
         self._static = self._build_static_rows(info)
 
     # ---- static rows (kind-dependent, coordinate-independent columns) -------
@@ -191,6 +272,37 @@ class SparseSystem:
         return (np.concatenate(rows_l), np.concatenate(cols_l),
                 np.concatenate(vals_l), rhs)
 
+    def _solve_csr(self, A: sp.csr_matrix, b: np.ndarray,
+                   x0: np.ndarray) -> np.ndarray:
+        """Dispatch one CSR solve per self.method. Krylov paths are
+        LEFT-preconditioned like the reference (GMRES.zig preconditions
+        the residual; this also equilibrates the wildly mixed row scales
+        of fixed rows (1.0) vs stencil rows (~h^2)), seed the initial
+        guess from the current coordinates (BiCGStab.zig:136-153) and use
+        the reference tolerances."""
+        if self.method == "direct":
+            return spla.spsolve(A, b)
+
+        from .krylov import numpy_bicgstab, numpy_gmres
+
+        M_inv = _make_preconditioner(A, self.preconditioner)
+
+        def A_left(v):
+            return M_inv(A @ v)
+
+        ident = lambda v: v
+        if self.method == "gmres":
+            # reference: restart 30, rtol 1e-6, atol 1e-8, max 1000 iters
+            dx, _ = numpy_gmres(A_left, ident, M_inv(b - A @ x0),
+                                rtol=1e-6, atol=1e-8, restart=30,
+                                max_restarts=34)
+            return x0 + dx
+        if self.method == "bicgstab":
+            x, _ = numpy_bicgstab(A_left, ident, M_inv(b), rtol=1e-6,
+                                  atol=1e-8, max_iters=1000, x0=x0)
+            return x
+        raise ValueError(f"unknown solver method {self.method!r}")
+
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
         """One linear solve pair (x then y system) -> new (P, 2) coords."""
         info = self.info
@@ -208,7 +320,7 @@ class SparseSystem:
         bx[sl] = coords[sl, 0]
         Ax = sp.csr_matrix((vx, (rx, cx)), shape=(self.P, self.P))
         Ax.sum_duplicates()
-        new[:, 0] = spla.spsolve(Ax, bx)
+        new[:, 0] = self._solve_csr(Ax, bx, coords[:, 0])
 
         # y-system: sliding rows y - y_neighbor = 0
         ry = np.concatenate([rows, sl, sl])
@@ -218,6 +330,6 @@ class SparseSystem:
         by[sl] = 0.0
         Ay = sp.csr_matrix((vy, (ry, cy)), shape=(self.P, self.P))
         Ay.sum_duplicates()
-        new[:, 1] = spla.spsolve(Ay, by)
+        new[:, 1] = self._solve_csr(Ay, by, coords[:, 1])
 
         return new
