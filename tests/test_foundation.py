@@ -88,6 +88,27 @@ def test_t106_blade_arc_length():
         assert abs(s.integrate() - polyline) / polyline < 5e-3
 
 
+def test_stieger_t106_published_arc_length():
+    """Reference ground-truth anchor (spline.zig:306-514): fit the full
+    Stieger T106 blade (184 points over chord, Table I-2 p.213 of Stieger's
+    PhD thesis) scaled by the 198 mm chord; the integrated spline arc
+    length must match the PUBLISHED suction + pressure surface lengths
+    264.7 mm + 230.0 mm within the reference's 1e-2 (absolute, meters).
+
+    The Zig reference binary cannot run in this environment (no Zig
+    toolchain), so this published-data assertion is the independent
+    correctness oracle for the spline component; the golden files in
+    tests/golden are framework-pinned regressions, not reference diffs.
+    """
+    pts = parse_csv_points("/root/repo/tests/data/stieger_t106_blade.csv")
+    assert pts.shape == (184, 2)
+    chord = 198.0e-3  # [m]
+    s = FittingSpline(pts * chord)
+    suction = 264.7e-3
+    pressure = 230.0e-3
+    assert abs(s.integrate() - (suction + pressure)) < 1e-2
+
+
 def test_csv_parse_endpoints():
     """csv.zig:59-67 — first/last points of T106_ps.dat parse exactly."""
     data = parse_csv_points("/root/repo/examples/T106/T106_ps.dat")
