@@ -251,7 +251,7 @@ class DeviceSmoother:
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-12, atol: float = 1e-14,
                  restart: int = 30, max_restarts: int = 400,
-                 max_iters: int | None = None):
+                 max_iters: int | None = None, max_refine: int = 20):
         self.plan = build_plan(mesh, info)
         self._block_sizes = [b.size for b in mesh.blocks]
         self._mesh = mesh
@@ -263,6 +263,7 @@ class DeviceSmoother:
         if max_iters is not None:  # backwards-compat alias
             max_restarts = max(1, max_iters // restart)
         self.max_restarts = max_restarts
+        self.max_refine = max_refine
         p = self.plan
 
         def _as_dev(x):
@@ -421,9 +422,9 @@ class DeviceSmoother:
     # -- BiCGStab -------------------------------------------------------------
 
     def _solve_impl(self, Xpad, cf_pad):
-        """Kept for the driver compile check: one full solve as a single
-        jittable program (small meshes). Large meshes use the staged path
-        in .solve() below."""
+        """One full linearized solve as a single jittable program:
+        f64 iterative refinement around the fused f32 GMRES+V-cycle inner
+        solver. Also the driver compile-check entry."""
         base, b = self._stage_base(Xpad, cf_pad)
         ctx = self._stage_prepare32(base, cf_pad)
         free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
@@ -432,7 +433,7 @@ class DeviceSmoother:
 
         def cond(state):
             k, x, rn = state
-            return jnp.logical_and(k < 10, rn > tol)
+            return jnp.logical_and(k < self.max_refine, rn > tol)
 
         def body(state):
             k, x, _ = state
@@ -510,48 +511,27 @@ class DeviceSmoother:
         return self._apply(baseX32, baseF32, ctx["cf32"], v,
                            with_offsets=jnp.float32(0.0))
 
-    def _stage_Minv(self, ctx, vflat):
-        """f32 preconditioner: multigrid V-cycle on block interiors +
-        Jacobi on boundary free rows + connection-chain tridiagonal solves."""
-        from .krylov import thomas
+    def _stage_vcycle_interior(self, ctx, vflat):
+        """f32 multigrid V-cycle on block interiors (zero elsewhere)."""
         from .multigrid import v_cycle, MGLevel
 
         p32 = self._jnp_plan32
         B, N, M = self.plan.B, self.plan.N, self.plan.M
-        diag_field = ctx["diag"]
-        ch_l, ch_d, ch_u = ctx["chain"]
-        (c_row, *_rest) = p32["c"]
-        c_seg, c_seg_valid = p32["cseg"]
-        have_chains = c_row.shape[0] > 0
+        interior = p32["interior_mask"][..., None]
         levels = [MGLevel(lv) for lv in ctx["mg"]]
-
         v = vflat.reshape(B, N, M, 2)
-        interior = p32["interior_mask"]
-
-        z = v_cycle(levels, jnp.where(interior[..., None], v, 0.0))
-        inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
-        z = jnp.where(interior[..., None], z, v * inv_diag)
-        z = jnp.where(p32["free_mask"], z, 0.0)
-
-        if have_chains:
-            vmask = c_seg_valid
-            seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
-            seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
-            seg_du = jnp.where(vmask, ch_u[c_seg], 0.0)
-            chain_rows = c_row[c_seg]
-            vf = vflat
-            rhs = jnp.where(vmask[..., None], vf[chain_rows], 0.0)
-            sol = thomas(seg_dl, seg_d, seg_du, rhs)
-            zf = z.reshape(-1, 2)
-            cur = zf[chain_rows]
-            upd = jnp.where(vmask[..., None], sol - cur, 0.0)
-            z = zf.at[chain_rows].add(upd).reshape(z.shape)
-
+        z = v_cycle(levels, jnp.where(interior, v, 0.0))
+        z = jnp.where(interior & p32["free_mask"], z, 0.0)
         return z.reshape(-1, 2)
 
-    def _stage_Minv_finish(self, ctx, vflat, z_interior):
-        """Boundary part of the preconditioner around a given interior
-        correction: Jacobi on boundary free rows + chain solves (small jit)."""
+    def _stage_interface(self, ctx, vflat):
+        """f32 interface solve: connection-chain tridiagonal solves +
+        Jacobi on junction/sliding/other boundary free rows; zero on the
+        interior. Composed multiplicatively after the V-cycle (the residual
+        passed in is already updated for the interior correction), which
+        preconditions the inter-block coupling far better than the round-1
+        additive splitting (measured: first-pass residual reduction 2e-3
+        vs 0.48 on the T106 O4H mesh)."""
         from .krylov import thomas
 
         p32 = self._jnp_plan32
@@ -560,15 +540,14 @@ class DeviceSmoother:
         ch_l, ch_d, ch_u = ctx["chain"]
         (c_row, *_rest) = p32["c"]
         c_seg, c_seg_valid = p32["cseg"]
-        have_chains = c_row.shape[0] > 0
 
         v = vflat.reshape(B, N, M, 2)
-        interior = p32["interior_mask"]
+        interior = p32["interior_mask"][..., None]
         inv_diag = 1.0 / jnp.where(diag_field == 0.0, 1.0, diag_field)
-        z = jnp.where(interior[..., None], z_interior, v * inv_diag)
+        z = jnp.where(interior, 0.0, v * inv_diag)
         z = jnp.where(p32["free_mask"], z, 0.0)
 
-        if have_chains:
+        if c_row.shape[0]:
             vmask = c_seg_valid
             seg_dl = jnp.where(vmask, ch_l[c_seg], 0.0)
             seg_d = jnp.where(vmask, ch_d[c_seg], 1.0)
@@ -582,6 +561,26 @@ class DeviceSmoother:
             z = zf.at[chain_rows].add(upd).reshape(z.shape)
 
         return z.reshape(-1, 2)
+
+    def _stage_Minv(self, ctx, vflat):
+        """f32 preconditioner: multiplicative composition of a multigrid
+        V-cycle on block interiors and the interface solve (chains /
+        junction Jacobi / sliding) with a residual update in between."""
+        z = self._stage_vcycle_interior(ctx, vflat)
+        rr = vflat - self._stage_A32(ctx, z)
+        return z + self._stage_interface(ctx, rr)
+
+    def _stage_Minv_finish(self, ctx, vflat, z_interior):
+        """Interface part of the preconditioner around a given interior
+        correction (for the host-orchestrated path where the V-cycle ran
+        as its own program): same multiplicative composition as
+        _stage_Minv, with z_interior standing in for the fused V-cycle."""
+        p32 = self._jnp_plan32
+        interior = p32["interior_mask"][..., None]
+        z = jnp.where(interior & p32["free_mask"], z_interior, 0.0)
+        z = z.reshape(-1, 2)
+        rr = vflat - self._stage_A32(ctx, z)
+        return z + self._stage_interface(ctx, rr)
 
     def _stage_inner(self, ctx, cf_pad, r64):
         """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
@@ -615,13 +614,13 @@ class DeviceSmoother:
 
         from .krylov import host_gmres
 
-        # The single fused GMRES program (while_loop over the full V-cycle
-        # preconditioner) reliably crashes the current TPU runtime's remote
-        # compiler; run it fused only on CPU (tests/virtual meshes), and
-        # host-orchestrated over separately-jitted pieces on accelerators.
-        force = os.environ.get("TURBOMESH_FUSED_INNER")
-        fused = (jax.devices()[0].platform == "cpu" if force is None
-                 else force == "1")
+        # The fused inner program (GMRES while_loop over the full V-cycle
+        # preconditioner, f32-only) compiles and runs on the current TPU
+        # runtime (round-2 probe: 25k nodes compile ~54 s, steady-state
+        # ~0.2 s/solve) — run it fused by default everywhere. Set
+        # TURBOMESH_FUSED_INNER=0 to fall back to host-orchestrated
+        # per-piece jits on runtimes where the large program fails.
+        fused = os.environ.get("TURBOMESH_FUSED_INNER", "1") == "1"
         if fused:
             return self._jit_inner(ctx, C, rpad)
 
@@ -655,19 +654,64 @@ class DeviceSmoother:
     # -- host API (matches SparseSystem.solve) --------------------------------
 
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
-        """One linearized Picard solve, architected for a high-latency
-        accelerator link:
+        """One linearized Picard solve, fully device-resident:
 
-        - the Krylov loop (restarted GMRES) runs on HOST in exact f64 —
-          operator applications use the native C++ kernels (host_ops), so
-          they cost ~ms and no device round-trip;
-        - the preconditioner is ONE fused TPU program per application: a
-          full multigrid V-cycle over the padded block stack in f32
-          (slicing-only program — compiles reliably); perimeter rows
-          (connection chains / junctions / sliding) are preconditioned on
-          host (they are perimeter-sized);
-        - row equilibration as in the fused path.
+        - pad + upload the field once (h2d);
+        - f64 iterative refinement with all fields staying on device:
+          each pass is one fused f32 GMRES+V-cycle inner solve plus one
+          small f64 residual program; only the residual *norm* (one
+          scalar) crosses to host per pass;
+        - download the smoothed field once (d2h).
+
+        The round-1 architecture (host f64 Krylov over native C++ kernels
+        with one tunneled V-cycle call per Krylov iteration) paid a field
+        round-trip per iteration — d2h through the axon tunnel runs at
+        ~15 MB/s with ~50 ms latency, which made the TPU a net loss. It is
+        kept as _solve_host_krylov (TURBOMESH_HOST_KRYLOV=1) for runtimes
+        where the fused f32 program cannot compile.
         """
+        import os
+
+        if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1":
+            return self._solve_host_krylov(coords, cf)
+
+        from .krylov import _warn_nonconverged
+
+        p = self.plan
+        Xpad = np.zeros((p.B * p.N * p.M, 2))
+        Xpad[p.scatter_idx] = coords
+        cfpad = np.zeros((p.B * p.N * p.M, 2))
+        cfpad[p.scatter_idx] = cf
+        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+
+        baseF, b = self._jit_base(X, C)
+        ctx = self._jit_prepare32(baseF, C)
+        bnorm = float(jnp.linalg.norm(b))
+        tol = max(self.rtol * bnorm, self.atol)
+
+        free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
+        x = jnp.zeros_like(b)
+        r = b
+        rn = bnorm
+        k = 0
+        while rn > tol and k < self.max_refine:
+            d = self._inner_solve(ctx, C, r)
+            x = x + jnp.where(free64, d, 0.0)
+            r = b - self._jit_apply64(baseF, C, x)
+            rn = float(jnp.linalg.norm(r))  # scalar d2h per pass
+            k += 1
+        if rn > tol:
+            _warn_nonconverged("device refinement", k, rn, tol)
+        self.last_linear_residual = rn
+
+        X1 = self._jit_finish(baseF, x)
+        return np.asarray(X1)[p.scatter_idx]
+
+    def _solve_host_krylov(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
+        """Fallback for runtimes that cannot compile the fused f32 inner
+        program: host f64 GMRES over native C++ kernels (host_ops) with one
+        fused TPU V-cycle per Krylov iteration (round-1 architecture)."""
         from .host_ops import HostOperator
         from .krylov import numpy_gmres
         from .multigrid import build_levels, make_fused_vcycle
@@ -690,10 +734,10 @@ class DeviceSmoother:
         levels = build_levels(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
                               jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)),
                               self._block_sizes)
-        # heavier smoothing per cycle (rate ~0.35 on boundary-layer blocks
-        # vs 0.57 at 1/1/8) trades cheap on-chip work for fewer Krylov
-        # round-trips — the binding cost on a high-latency link
-        vcycle = make_fused_vcycle(levels, pre=2, post=2, coarse_iters=16)
+        # zebra line-GS smoothing holds the V-cycle rate at ~0.05-0.12 even
+        # on boundary-layer-clustered blocks (vs 0.35-0.67 for the round-1
+        # undamped ADI), so 1/1/4 cycles suffice
+        vcycle = make_fused_vcycle(levels, pre=1, post=1, coarse_iters=4)
 
         # host perimeter preconditioning data
         chains = []
