@@ -54,6 +54,34 @@ def test_two_blocks_two_devices():
     _compare(mesh, n_devices=2)
 
 
+def test_sixteen_block_chain_eight_devices():
+    """16 blocks / 8 devices (2 blocks each): parity vs oracle, and the
+    point-to-point exchange only talks to adjacent devices with per-device
+    volume independent of the total block count (VERDICT.md item 7)."""
+    mesh = Mesh()
+    n, m = 7, 5
+    for k in range(16):
+        mesh.add_block(f"b{k}", _uniform_block(n, m, x0=float(k),
+                                               distort=0.03, seed=k))
+    for k in range(15):
+        mesh.connections.append(
+            Connection((Range(k, Side.J_MAX, 0, m - 1),
+                        Range(k + 1, Side.J_MIN, 0, m - 1)))
+        )
+        mesh.blocks[k + 1].points[0, :, :] = mesh.blocks[k].points[-1, :, :]
+
+    info = classify(mesh)
+    sharded = ShardedSmoother(mesh, info, n_devices=min(8, len(jax.devices())))
+    # chained blocks, 2 per device: only self (0) and next-device (1)
+    # offsets may carry traffic
+    assert set(sharded.ex_F.offsets) <= {0, 1, 7}, sharded.ex_F.offsets
+    # per-device exchanged volume stays O(single-connection perimeter),
+    # not O(total blocks x perimeter): each device owns at most 3
+    # connection interfaces, each needing 3 partner columns of length m
+    assert sharded.ex_F.total <= 3 * 3 * m + 8
+    _compare(mesh, n_devices=min(8, len(jax.devices())))
+
+
 def test_o4h_eight_devices():
     """Full 8-block O4H (junctions, periodic, sliding) on 8 devices."""
     from turbomesh_tpu import input as input_mod

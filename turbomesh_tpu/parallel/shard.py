@@ -2,12 +2,21 @@
 
 The structured-grid analog of spatial/context parallelism (SURVEY.md §2,
 §5.7-5.8): mesh blocks are sharded across TPU chips on a 1-D device mesh
-axis ``'b'``; each linear-operator application exchanges only the blocks'
-two outermost point layers (the "ring") with ``all_gather`` over ICI —
-O(perimeter) bytes against O(area) compute. Periodic connections add the
-pitch vector to received partner data, junction points read their <=6
-cross-block stencil neighbors from the gathered ring, and reductions
-(GMRES dot products) ride ``psum``.
+axis ``'b'``. Cross-block references (connection-partner stencils, junction
+stencils, slave masters) are exchanged **point-to-point** with
+``jax.lax.ppermute``: for every active device offset ``o`` each device
+gathers exactly the values its offset-``o`` neighbor needs and sends one
+packed chunk over ICI, so per-device communication volume is proportional
+to that device's shared perimeter — independent of the total block count
+(the round-1 ``all_gather`` ring broadcast was O(B x perimeter) per
+device). Reductions (GMRES dot products) ride ``psum``.
+
+The linear solve is restarted f64 GMRES preconditioned by the same
+multiplicative V-I composition as the single-chip DeviceSmoother: an f32
+multigrid V-cycle over the local blocks' interiors (communication-free —
+block interiors decouple under zero-Dirichlet correction boundaries),
+an f32 residual update (one halo exchange), and the interface solve
+(local connection-chain tridiagonals + Jacobi junction/sliding rows).
 
 This replaces the serial reference's global sparse solve
 (smooth.zig:277-1166); there is no reference counterpart to the
@@ -27,41 +36,94 @@ from jax.sharding import Mesh as JMesh, PartitionSpec as P
 
 from ..smoothing.classify import BoundaryInfo
 from ..smoothing.device import build_plan, _metrics
+from ..smoothing.multigrid import level_ladder, interior_mask_np
 
 
-def _ring_index(b, i, j, ni, nj, N, M, B):
-    """Host-side: map a (block, i, j) point in the 2-layer boundary ring to
-    its index in the gathered ring buffer R = [ring_i | ring_j]:
-      ring_i: (B, 4, M) rows i in {0, 1, ni-2, ni-1} of each block
-      ring_j: (B, N, 4) cols j in {0, 1, nj-2, nj-1} of each block
-    (ni, nj) are the block's actual dimensions within the (N, M) padding.
+@dataclasses.dataclass
+class Exchange:
+    """Static point-to-point exchange schedule.
+
+    For each active ring offset ``o`` (0 = same-device gather), device
+    ``s`` sends the values of its local flat indices ``send_idx[o][s]``
+    to device ``(s+o) % D``; the receiver concatenates the chunks in
+    offset order into a value table VAL, and every remote reference reads
+    VAL at a precomputed position.
     """
-    i_layers = {0: 0, 1: 1, ni - 2: 2, ni - 1: 3}
-    j_layers = {0: 0, 1: 1, nj - 2: 2, nj - 1: 3}
-    if i in i_layers:
-        return (b * 4 + i_layers[i]) * M + j
-    if j in j_layers:
-        return B * 4 * M + (b * N + i) * 4 + j_layers[j]
-    raise ValueError(f"point ({b},{i},{j}) not in 2-layer ring of ({ni},{nj})")
+
+    offsets: list          # active offsets, ascending, 0 first if present
+    send_idx: dict         # o -> (D, L_o) int array of sender-local flats
+    lengths: dict          # o -> L_o
+    base: dict             # o -> start of o's chunk within VAL
+    total: int             # VAL length
+
+
+class _ExchangeBuilder:
+    def __init__(self, D, Bl, N, M):
+        self.D, self.Bl, self.N, self.M = D, Bl, N, M
+        self.tables = {}  # (recv_dev, offset) -> {src_local_flat: slot}
+
+    def positions(self, own_dev, refs):
+        """own_dev: (R,) receiving device per row; refs: (R,) global padded
+        flat indices. Returns (R,) provisional (offset, slot) pairs."""
+        NM = self.N * self.M
+        out = np.zeros((len(refs), 2), dtype=np.int64)
+        for k, g in enumerate(np.asarray(refs, dtype=np.int64)):
+            d = int(own_dev[k])
+            blk = g // NM
+            s = int(blk) // self.Bl
+            o = (d - s) % self.D
+            lf = int((blk % self.Bl) * NM + g % NM)
+            t = self.tables.setdefault((d, o), {})
+            slot = t.setdefault(lf, len(t))
+            out[k] = (o, slot)
+        return out
+
+    def finalize(self):
+        D = self.D
+        offsets = sorted({o for (_, o) in self.tables}) or [0]
+        lengths = {o: max((len(self.tables.get((d, o), {})) for d in range(D)),
+                          default=0) or 1 for o in offsets}
+        base, acc = {}, 0
+        for o in offsets:
+            base[o] = acc
+            acc += lengths[o]
+        send_idx = {}
+        for o in offsets:
+            buf = np.zeros((D, lengths[o]), dtype=np.int64)
+            for s in range(D):
+                t = self.tables.get(((s + o) % D, o), {})
+                for lf, slot in t.items():
+                    buf[s, slot] = lf
+            send_idx[o] = buf
+        return Exchange(offsets=offsets, send_idx=send_idx,
+                        lengths=lengths, base=base, total=acc)
+
+    def resolve(self, ex: Exchange, provisional):
+        """(R, 2) (offset, slot) -> (R,) VAL positions."""
+        out = np.zeros(len(provisional), dtype=np.int64)
+        for k, (o, slot) in enumerate(np.asarray(provisional)):
+            out[k] = ex.base[int(o)] + int(slot)
+        return out
 
 
 @dataclasses.dataclass
 class ShardPlanArrays:
     """Per-device plan arrays, stacked over devices (leading axis D) and
-    padded to the max row count; `*_valid` masks mark real rows."""
+    padded to the max row count; `*_valid` masks mark real rows. ``*_v``
+    fields index the exchanged value table VAL."""
 
     # connection middle rows
     c_row: np.ndarray; c_g0m: np.ndarray; c_g0p: np.ndarray; c_in0: np.ndarray
     c_d0m: np.ndarray; c_d0p: np.ndarray
-    c_in1r: np.ndarray; c_d1mr: np.ndarray; c_d1pr: np.ndarray
+    c_in1v: np.ndarray; c_d1mv: np.ndarray; c_d1pv: np.ndarray
     c_pi: np.ndarray; c_swap: np.ndarray; c_valid: np.ndarray
-    # junction rows (stencil via ring)
-    l_row: np.ndarray; l_stencil_r: np.ndarray; l_weight: np.ndarray
+    # junction rows (stencil via VAL)
+    l_row: np.ndarray; l_stencil_v: np.ndarray; l_weight: np.ndarray
     l_rhs: np.ndarray; l_valid: np.ndarray
     # sliding rows (local)
     s_row: np.ndarray; s_nb: np.ndarray; s_valid: np.ndarray
-    # slave substitution (master via ring)
-    sl_row: np.ndarray; sl_master_r: np.ndarray; sl_off: np.ndarray
+    # slave substitution (master via stage-S VAL)
+    sl_row: np.ndarray; sl_master_v: np.ndarray; sl_off: np.ndarray
     sl_valid: np.ndarray
 
 
@@ -99,15 +161,15 @@ class ShardedSmoother:
         self.interior_mask = interior
         self.free_mask = free
 
-        # per-block ring row/col positions (actual block extents, not padding)
         sizes = [blk.size for blk in mesh.blocks]
-        self.ring_rows = np.zeros((B, 4), dtype=np.int64)
-        self.ring_cols = np.zeros((B, 4), dtype=np.int64)
-        for b in range(B):
-            ni, nj = sizes[b] if b < B0 else (N, M)
-            self.ring_rows[b] = [0, 1, max(ni - 2, 0), ni - 1]
-            self.ring_cols[b] = [0, 1, max(nj - 2, 0), nj - 1]
+        self.block_sizes = sizes
         self.scatter_idx = plan.scatter_idx  # into (B0*N*M); B padding appended after
+
+        # multigrid ladder masks (dummy blocks -> no interior)
+        sizes_padded = sizes + [(1, 1)] * (B - B0)
+        self.mg_ladder = level_ladder(N, M, sizes_padded)
+        self.mg_masks = [interior_mask_np(B, Nl, Ml, sz)
+                         for Nl, Ml, sz in self.mg_ladder]
 
         self._build_shard_plans(mesh, info)
 
@@ -148,43 +210,57 @@ class ShardedSmoother:
             return b, i, j
 
         def to_local(padded_idx):
-            """padded flat -> (device, local flat) given owning block."""
+            """padded flat -> owning-device local flat."""
             b, i, j = pad_to_bij(padded_idx)
-            d = b // Bl
             lb = b % Bl
-            return d, (lb * N + i) * M + j
+            return (lb * N + i) * M + j
 
-        sizes = [blk.size for blk in mesh.blocks]
+        # owning device per row
+        c_dev = pad_to_bij(plan.c_row)[0] // Bl
+        l_dev = (pad_to_bij(plan.l_row)[0] // Bl if len(plan.l_row)
+                 else np.empty(0, np.int64))
+        s_dev = (pad_to_bij(plan.s_row)[0] // Bl if len(plan.s_row)
+                 else np.empty(0, np.int64))
+        sl_dev = (pad_to_bij(plan.sl_row)[0] // Bl if len(plan.sl_row)
+                  else np.empty(0, np.int64))
 
-        def to_ring(padded_idx):
-            b, i, j = pad_to_bij(padded_idx)
-            return np.array(
-                [_ring_index(int(bb), int(ii), int(jj), *sizes[int(bb)], N, M, B)
-                 for bb, ii, jj in zip(np.atleast_1d(b), np.atleast_1d(i), np.atleast_1d(j))],
-                dtype=np.int64,
-            )
+        # stage-S exchange: slave masters (raw field values)
+        bS = _ExchangeBuilder(D, Bl, N, M)
+        sl_prov = bS.positions(sl_dev, plan.sl_master)
+        self.ex_S = bS.finalize()
+        sl_master_v = bS.resolve(self.ex_S, sl_prov)
 
-        # connection rows: row + local operands on the owning device
+        # stage-F exchange: stencil references (substituted field values)
+        bF = _ExchangeBuilder(D, Bl, N, M)
+        c_in1_p = bF.positions(c_dev, plan.c_in1)
+        c_d1m_p = bF.positions(c_dev, plan.c_d1m)
+        c_d1p_p = bF.positions(c_dev, plan.c_d1p)
+        K = plan.l_stencil.shape[1] if plan.l_stencil.ndim == 2 else 1
+        l_st_p = [bF.positions(l_dev, plan.l_stencil[:, k]) for k in range(K)] \
+            if len(plan.l_row) else []
+        self.ex_F = bF.finalize()
+        c_in1v = bF.resolve(self.ex_F, c_in1_p)
+        c_d1mv = bF.resolve(self.ex_F, c_d1m_p)
+        c_d1pv = bF.resolve(self.ex_F, c_d1p_p)
+        l_st_v = (np.stack([bF.resolve(self.ex_F, pk) for pk in l_st_p], axis=1)
+                  if len(plan.l_row) else np.empty((0, K), np.int64))
+
         c_row_b = pad_to_bij(plan.c_row)[0]
-        loc = lambda a: to_local(a)[1]
         (c_arr, c_valid) = self._split_pad_stack(
             c_row_b,
-            [loc(plan.c_row), loc(plan.c_g0m), loc(plan.c_g0p), loc(plan.c_in0),
-             loc(plan.c_d0m), loc(plan.c_d0p),
-             to_ring(plan.c_in1), to_ring(plan.c_d1m), to_ring(plan.c_d1p),
+            [to_local(plan.c_row), to_local(plan.c_g0m), to_local(plan.c_g0p),
+             to_local(plan.c_in0), to_local(plan.c_d0m), to_local(plan.c_d0p),
+             c_in1v, c_d1mv, c_d1pv,
              plan.c_pi, plan.c_swap_pq],
             D,
             [0, 0, 0, 0, 0, 0, 0, 0, 0, 0.0, False],
         )
 
         l_row_b = pad_to_bij(plan.l_row)[0] if len(plan.l_row) else np.empty(0, np.int64)
-        K = plan.l_stencil.shape[1] if plan.l_stencil.ndim == 2 else 1
-        l_st_ring = (np.stack([to_ring(plan.l_stencil[:, k]) for k in range(K)], axis=1)
-                     if len(plan.l_row) else np.empty((0, K), np.int64))
         (l_arr, l_valid) = self._split_pad_stack(
             l_row_b,
-            [loc(plan.l_row) if len(plan.l_row) else np.empty(0, np.int64),
-             l_st_ring, plan.l_weight, plan.l_rhs],
+            [to_local(plan.l_row) if len(plan.l_row) else np.empty(0, np.int64),
+             l_st_v, plan.l_weight, plan.l_rhs],
             D,
             [0, 0, 0.0, 0.0],
         )
@@ -192,8 +268,8 @@ class ShardedSmoother:
         s_row_b = pad_to_bij(plan.s_row)[0] if len(plan.s_row) else np.empty(0, np.int64)
         (s_arr, s_valid) = self._split_pad_stack(
             s_row_b,
-            [loc(plan.s_row) if len(plan.s_row) else np.empty(0, np.int64),
-             loc(plan.s_nb) if len(plan.s_nb) else np.empty(0, np.int64)],
+            [to_local(plan.s_row) if len(plan.s_row) else np.empty(0, np.int64),
+             to_local(plan.s_nb) if len(plan.s_nb) else np.empty(0, np.int64)],
             D,
             [0, 0],
         )
@@ -201,8 +277,8 @@ class ShardedSmoother:
         sl_row_b = pad_to_bij(plan.sl_row)[0] if len(plan.sl_row) else np.empty(0, np.int64)
         (sl_arr, sl_valid) = self._split_pad_stack(
             sl_row_b,
-            [loc(plan.sl_row) if len(plan.sl_row) else np.empty(0, np.int64),
-             to_ring(plan.sl_master) if len(plan.sl_master) else np.empty(0, np.int64),
+            [to_local(plan.sl_row) if len(plan.sl_row) else np.empty(0, np.int64),
+             sl_master_v,
              plan.sl_off],
             D,
             [0, 0, 0.0],
@@ -243,55 +319,59 @@ class ShardedSmoother:
         self.shard_plan = ShardPlanArrays(
             c_row=c_arr[0], c_g0m=c_arr[1], c_g0p=c_arr[2], c_in0=c_arr[3],
             c_d0m=c_arr[4], c_d0p=c_arr[5],
-            c_in1r=c_arr[6], c_d1mr=c_arr[7], c_d1pr=c_arr[8],
+            c_in1v=c_arr[6], c_d1mv=c_arr[7], c_d1pv=c_arr[8],
             c_pi=c_arr[9], c_swap=c_arr[10], c_valid=c_valid,
-            l_row=l_arr[0], l_stencil_r=l_arr[1], l_weight=l_arr[2],
+            l_row=l_arr[0], l_stencil_v=l_arr[1], l_weight=l_arr[2],
             l_rhs=l_arr[3], l_valid=l_valid,
             s_row=s_arr[0], s_nb=s_arr[1], s_valid=s_valid,
-            sl_row=sl_arr[0], sl_master_r=sl_arr[1], sl_off=sl_arr[2],
+            sl_row=sl_arr[0], sl_master_v=sl_arr[1], sl_off=sl_arr[2],
             sl_valid=sl_valid,
         )
 
     # ---------------------------------------------------------------- kernels
 
     def _make_solver(self):
-        N, M, B, Bl = self.N, self.M, self.B, self.Bl
+        N, M, B, Bl, D = self.N, self.M, self.B, self.Bl, self.D
         restart = self.restart
         rtol, atol = self.rtol, self.atol
         max_restarts = self.max_restarts
+        ex_S, ex_F = self.ex_S, self.ex_F
+        n_mg_levels = len(self.mg_masks)
 
-        ring_rows = jnp.asarray(self.ring_rows)  # (B, 4) closed over; sliced below
-        ring_cols = jnp.asarray(self.ring_cols)
-
-        def make_gather_ring(rows_l, cols_l):
-            def gather_ring(Xl):
-                """Xl: (Bl, N, M, 2) -> global ring buffer (B*4*M + B*N*4, 2)."""
-                ri = jnp.take_along_axis(Xl, rows_l[:, :, None, None], axis=1)
-                rj = jnp.take_along_axis(Xl, cols_l[:, None, :, None], axis=2)
-                RI = jax.lax.all_gather(ri, "b", tiled=True)   # (B, 4, M, 2)
-                RJ = jax.lax.all_gather(rj, "b", tiled=True)   # (B, N, 4, 2)
-                return jnp.concatenate(
-                    [RI.reshape(-1, 2), RJ.reshape(-1, 2)], axis=0
-                )
-            return gather_ring
+        def make_exchange(ex: Exchange, send_slices):
+            """send_slices: {o: (L_o,) per-device local flat indices}."""
+            def exchange(Xf):
+                """Xf: (Bl*N*M, C) local flat field -> VAL (total, C)."""
+                chunks = []
+                for o in ex.offsets:
+                    ch = Xf[send_slices[o]]
+                    if o != 0:
+                        perm = [(d, (d + o) % D) for d in range(D)]
+                        ch = jax.lax.ppermute(ch, "b", perm)
+                    chunks.append(ch)
+                return jnp.concatenate(chunks, axis=0)
+            return exchange
 
         def pdot(a, b):
             return jax.lax.psum(jnp.sum(a * b), "b")
 
-        def substitute(q, Xl, R, with_offsets):
+        def substitute(q, Xl, VS, with_offsets):
             # masked scatter-ADD of (new - cur): padded dummy rows (index 0)
             # may collide with real rows, and duplicate-index scatter-set has
             # undefined write order; add with a zero contribution is safe.
             Xf = Xl.reshape(-1, 2)
-            new = R[q["sl_master_r"]] + (q["sl_off"] if with_offsets else 0.0)
+            off = q["sl_off"].astype(Xf.dtype)
+            new = VS[q["sl_master_v"]] + (off if with_offsets else 0.0)
             cur = Xf[q["sl_row"]]
             delta = jnp.where(q["sl_valid"][:, None], new - cur, 0.0)
             return Xf.at[q["sl_row"]].add(delta).reshape(Xl.shape)
 
-        def apply_equations(q, baseXl, baseR, cfl, Vl, VR, with_offsets,
+        def apply_equations(q, baseXl, baseV, cfl, Vl, VV, with_offsets,
                             interior_mask, free_mask):
-            """Residual over local free components. baseXl/baseR frozen;
-            Vl local values (slaves already substituted), VR its ring."""
+            """Residual over local free components. baseXl/baseV frozen;
+            Vl local values (slaves already substituted), VV its stage-F
+            exchange table."""
+            dt = Vl.dtype
             g11, g12, g22 = _metrics(
                 baseXl[:, :-2, 1:-1], baseXl[:, 2:, 1:-1],
                 baseXl[:, 1:-1, :-2], baseXl[:, 1:-1, 2:],
@@ -315,11 +395,12 @@ class ShardedSmoother:
             Rf = Rres.reshape(-1, 2)
             Vf = Vl.reshape(-1, 2)
             baseF = baseXl.reshape(-1, 2)
+            c_pi = q["c_pi"].astype(dt)
 
             # connection rows (exact reference layout, smooth.zig:994-1105)
-            pi_off = q["c_pi"] if with_offsets else jnp.zeros_like(q["c_pi"])
+            pi_off = c_pi if with_offsets else jnp.zeros_like(c_pi)
             im1_j = baseF[q["c_g0m"]]; ip1_j = baseF[q["c_g0p"]]
-            i_jm1 = baseF[q["c_in0"]]; i_jp1 = baseR[q["c_in1r"]] - q["c_pi"]
+            i_jm1 = baseF[q["c_in0"]]; i_jp1 = baseV[q["c_in1v"]] - c_pi
             cg11, cg12, cg22 = _metrics(im1_j, ip1_j, i_jm1, i_jp1)
             cf_row = cfl.reshape(-1, 2)[q["c_row"]]
             Pq = jnp.where(q["c_swap"], cf_row[:, 1], cf_row[:, 0])
@@ -329,20 +410,20 @@ class ShardedSmoother:
                 + (cg22 * (1 + 0.5 * Pq))[:, None] * Vf[q["c_g0p"]]
                 + (cg22 * (1 - 0.5 * Pq))[:, None] * Vf[q["c_g0m"]]
                 + (cg11 * (1 - 0.5 * Qq))[:, None] * Vf[q["c_in0"]]
-                + (cg11 * (1 + 0.5 * Qq))[:, None] * (VR[q["c_in1r"]] - pi_off)
+                + (cg11 * (1 + 0.5 * Qq))[:, None] * (VV[q["c_in1v"]] - pi_off)
                 + (-0.5 * cg12)[:, None] * Vf[q["c_d0m"]]
                 + (0.5 * cg12)[:, None] * Vf[q["c_d0p"]]
-                + (0.5 * cg12)[:, None] * (VR[q["c_d1mr"]] - pi_off)
-                + (-0.5 * cg12)[:, None] * (VR[q["c_d1pr"]] - pi_off)
+                + (0.5 * cg12)[:, None] * (VV[q["c_d1mv"]] - pi_off)
+                + (-0.5 * cg12)[:, None] * (VV[q["c_d1pv"]] - pi_off)
             )
             r = jnp.where(q["c_valid"][:, None], r, 0.0)
             Rf = Rf.at[q["c_row"]].add(r)
 
             # junction rows
-            vals = VR[q["l_stencil_r"]]                     # (L, K, 2)
-            rl = jnp.sum(q["l_weight"][..., None] * vals, axis=1)
+            vals = VV[q["l_stencil_v"]]                    # (L, K, 2)
+            rl = jnp.sum(q["l_weight"].astype(dt)[..., None] * vals, axis=1)
             if with_offsets:
-                rl = rl - q["l_rhs"]
+                rl = rl - q["l_rhs"].astype(dt)
             rl = jnp.where(q["l_valid"][:, None], rl, 0.0)
             Rf = Rf.at[q["l_row"]].add(rl)
 
@@ -353,7 +434,7 @@ class ShardedSmoother:
 
             return jnp.where(free_mask.reshape(-1, 2), Rf, 0.0).reshape(Vl.shape)
 
-        def diag(q, baseXl, baseR, interior_mask, free_mask):
+        def diag(q, baseXl, baseV, interior_mask, free_mask):
             g11, _, g22 = _metrics(
                 baseXl[:, :-2, 1:-1], baseXl[:, 2:, 1:-1],
                 baseXl[:, 1:-1, :-2], baseXl[:, 1:-1, 2:],
@@ -363,7 +444,7 @@ class ShardedSmoother:
             baseF = baseXl.reshape(-1, 2)
             cg11, _, cg22 = _metrics(
                 baseF[q["c_g0m"]], baseF[q["c_g0p"]], baseF[q["c_in0"]],
-                baseR[q["c_in1r"]] - q["c_pi"],
+                baseV[q["c_in1v"]] - q["c_pi"],
             )
             # masked scatter-adds (duplicate-safe w.r.t. padded dummy rows)
             dc0 = (-2.0 * cg22 - 2.0 * cg11)[:, None]
@@ -380,30 +461,36 @@ class ShardedSmoother:
             free = free_mask.reshape(-1, 2)
             return jnp.where(free & (df != 0.0), df, 1.0)
 
-        def solve(q, Xl, cfl, interior_mask, free_mask, rows_l, cols_l):
+        def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks):
             """One linearized solve on the sharded state."""
-            from ..smoothing.krylov import (
-                restarted_gmres, thomas, build_line_precond,
-                apply_line_precond, build_line_precond_i, apply_line_precond_i)
+            from ..smoothing.krylov import restarted_gmres, thomas
+            from ..smoothing.multigrid import build_levels, v_cycle
 
-            gather_ring = make_gather_ring(rows_l, cols_l)
-            R0 = gather_ring(Xl)
-            baseXl = substitute(q, Xl, R0, with_offsets=True)
-            baseR = gather_ring(baseXl)
+            exchange_S = make_exchange(ex_S, {o: q[f"sendS{o}"]
+                                              for o in ex_S.offsets})
+            exchange_F = make_exchange(ex_F, {o: q[f"sendF{o}"]
+                                              for o in ex_F.offsets})
 
-            diag_field = diag(q, baseXl, baseR, interior_mask, free_mask
+            VS0 = exchange_S(Xl.reshape(-1, 2))
+            baseXl = substitute(q, Xl, VS0, with_offsets=True)
+            baseV = exchange_F(baseXl.reshape(-1, 2))
+
+            diag_field = diag(q, baseXl, baseV, interior_mask, free_mask
                               ).reshape(baseXl.shape)
-            dl_j, d_j, du_j = build_line_precond(baseXl, cfl, diag_field,
-                                                 interior_mask)
-            dl_i, d_i, du_i = build_line_precond_i(baseXl, cfl, diag_field,
-                                                   interior_mask)
 
-            # connection-chain tridiagonal factors (local rows)
-            baseFl = baseXl.reshape(-1, 2)
+            # f32 preconditioner context: MG levels over local block
+            # interiors + connection-chain tridiagonal factors
+            baseX32 = baseXl.astype(jnp.float32)
+            baseV32 = baseV.astype(jnp.float32)
+            cf32 = cfl.astype(jnp.float32)
+            diag32 = diag_field.astype(jnp.float32)
+            levels = build_levels(baseX32, cf32, masks=mg_masks)
+
+            baseF32 = baseX32.reshape(-1, 2)
             cg11, _, cg22 = _metrics(
-                baseFl[q["c_g0m"]], baseFl[q["c_g0p"]], baseFl[q["c_in0"]],
-                baseR[q["c_in1r"]] - q["c_pi"])
-            cf_row = cfl.reshape(-1, 2)[q["c_row"]]
+                baseF32[q["c_g0m"]], baseF32[q["c_g0p"]], baseF32[q["c_in0"]],
+                baseV32[q["c_in1v"]] - q["c_pi"].astype(jnp.float32))
+            cf_row = cf32.reshape(-1, 2)[q["c_row"]]
             Pq = jnp.where(q["c_swap"], cf_row[:, 1], cf_row[:, 0])
             ch_d = -2.0 * cg22 - 2.0 * cg11
             ch_l = cg22 * (1 - 0.5 * Pq)
@@ -414,40 +501,49 @@ class ShardedSmoother:
             seg_du = jnp.where(cseg_valid, ch_u[cseg], 0.0)
             chain_rows = q["c_row"][cseg]  # (S, L)
 
-            def overwrite_chains(out_field, vflat):
+            def A_any(V):
+                """Linear operator at V's dtype (f64 outer / f32 inner)."""
+                VS = exchange_S(V.reshape(-1, 2))
+                V = substitute(q, V, VS, with_offsets=False)
+                VV = exchange_F(V.reshape(-1, 2))
+                return apply_equations(
+                    q, baseXl.astype(V.dtype),
+                    baseV.astype(V.dtype), cfl.astype(V.dtype), V, VV, False,
+                    interior_mask, free_mask)
+
+            def interface32(V):
+                """Chains tridiag + Jacobi on non-interior free rows (f32)."""
+                vflat = V.reshape(-1, 2)
+                inv_diag = 1.0 / diag32
+                z = jnp.where(interior_mask[..., None], 0.0, V * inv_diag)
+                z = jnp.where(free_mask, z, 0.0)
                 rhs = jnp.where(cseg_valid[..., None], vflat[chain_rows], 0.0)
                 sol = thomas(seg_dl, seg_d, seg_du, rhs)
-                outf = out_field.reshape(-1, 2)
-                cur = outf[chain_rows]
+                zf = z.reshape(-1, 2)
+                cur = zf[chain_rows]
                 upd = jnp.where(cseg_valid[..., None], sol - cur, 0.0)
-                return outf.at[chain_rows].add(upd).reshape(out_field.shape)
-
-            def A(V):
-                VR0 = gather_ring(V)
-                V = substitute(q, V, VR0, with_offsets=False)
-                VR = gather_ring(V)
-                return apply_equations(q, baseXl, baseR, cfl, V, VR, False,
-                                       interior_mask, free_mask)
+                return zf.at[chain_rows].add(upd).reshape(z.shape)
 
             def M_inv(V):
-                vflat = V.reshape(-1, 2)
-                z1 = apply_line_precond_i(dl_i, d_i, du_i, diag_field,
-                                          free_mask, interior_mask, V)
-                z1 = overwrite_chains(z1, vflat)
-                r = V - A(z1)
-                z2 = apply_line_precond(dl_j, d_j, du_j, diag_field,
-                                        free_mask, interior_mask, r)
-                z2 = overwrite_chains(z2, r.reshape(-1, 2))
-                return z1 + z2
+                """f32 multiplicative V-I composition (DeviceSmoother
+                _stage_Minv); one f32 halo exchange for the residual
+                update."""
+                v32 = V.astype(jnp.float32)
+                z = v_cycle(levels, jnp.where(interior_mask[..., None],
+                                              v32, 0.0))
+                z = jnp.where(interior_mask[..., None] & free_mask, z, 0.0)
+                rr = v32 - A_any(z)
+                z = z + interface32(rr)
+                return z.astype(V.dtype)
 
-            b = -apply_equations(q, baseXl, baseR, cfl, baseXl, baseR, True,
+            b = -apply_equations(q, baseXl, baseV, cfl, baseXl, baseV, True,
                                  interior_mask, free_mask)
 
-            # row equilibration (see DeviceSmoother._solve_impl)
+            # row equilibration (see DeviceSmoother._stage_inner)
             inv_row = 1.0 / diag_field
 
             def A_s(V):
-                return inv_row * A(V)
+                return inv_row * A_any(V)
 
             def M_inv_s(V):
                 return M_inv(diag_field * V)
@@ -459,53 +555,28 @@ class ShardedSmoother:
             )
 
             X1 = baseXl + jnp.where(free_mask, delta, 0.0)
-            R1 = gather_ring(X1)
-            X1 = substitute(q, X1, R1, with_offsets=True)
+            VS1 = exchange_S(X1.reshape(-1, 2))
+            X1 = substitute(q, X1, VS1, with_offsets=True)
             return X1, rn
 
         plan_leaves = dataclasses.asdict(self.shard_plan)
         plan_leaves["cseg"] = self.cseg
         plan_leaves["cseg_valid"] = self.cseg_valid
+        for o in self.ex_S.offsets:
+            plan_leaves[f"sendS{o}"] = self.ex_S.send_idx[o]
+        for o in self.ex_F.offsets:
+            plan_leaves[f"sendF{o}"] = self.ex_F.send_idx[o]
         spec_state = P("b")
-
-        def debug_apply_fn(q, Xl, cfl, Vl, im, fm, rows_l, cols_l):
-            gather_ring = make_gather_ring(rows_l, cols_l)
-            R0 = gather_ring(Xl)
-            baseXl = substitute(q, Xl, R0, with_offsets=True)
-            baseR = gather_ring(baseXl)
-            b = -apply_equations(q, baseXl, baseR, cfl, baseXl, baseR, True,
-                                 im, fm)
-            VR0 = gather_ring(Vl)
-            Vs = substitute(q, Vl, VR0, with_offsets=False)
-            VR = gather_ring(Vs)
-            Av = apply_equations(q, baseXl, baseR, cfl, Vs, VR, False, im, fm)
-            return b, Av, Vs
+        mg_specs = tuple(P("b") for _ in self.mg_masks)
 
         @partial(jax.shard_map, mesh=self.jmesh,
-                 in_specs=(spec_state, spec_state, spec_state, spec_state,
-                           spec_state, P("b"), P("b"), P("b")),
-                 out_specs=(spec_state, spec_state, spec_state),
-                 check_vma=False)
-        def debug_run(X, cf, V, im, fm, rows, cols, pl):
-            q = {k: v[0] for k, v in pl.items()}
-            return debug_apply_fn(q, X, cf, V, im, fm, rows, cols)
-
-        def debug_apply(X, cf, V):
-            pl = {k: jnp.asarray(v) for k, v in plan_leaves.items()}
-            im = jnp.asarray(self.interior_mask)
-            fm = jnp.asarray(self.free_mask)
-            return debug_run(X, cf, V, im, fm, ring_rows, ring_cols, pl)
-
-        self.debug_apply = debug_apply
-
-        @partial(jax.shard_map, mesh=self.jmesh,
-                 in_specs=(spec_state, spec_state, spec_state, spec_state,
-                           P("b"), P("b"), P("b")),
+                 in_specs=(spec_state, spec_state, spec_state,
+                           spec_state, P("b"), mg_specs),
                  out_specs=(spec_state, P()),
                  check_vma=False)
-        def run(X, cf, im, fm, rows, cols, pl):
+        def run(X, cf, im, fm, pl, mg_masks):
             q = {k: v[0] for k, v in pl.items()}  # this device's plan slice
-            return solve(q, X, cf, im, fm, rows, cols)
+            return solve(q, X, cf, im, fm, list(mg_masks))
 
         def outer(X, cf):
             def _as_dev(v):
@@ -517,7 +588,8 @@ class ShardedSmoother:
             pl = {k: _as_dev(v) for k, v in plan_leaves.items()}
             im = jnp.asarray(self.interior_mask)
             fm = jnp.asarray(self.free_mask)
-            return run(X, cf, im, fm, ring_rows, ring_cols, pl)
+            mg = tuple(jnp.asarray(m) for m in self.mg_masks)
+            return run(X, cf, im, fm, pl, mg)
 
         return outer
 

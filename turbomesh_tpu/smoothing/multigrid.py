@@ -44,21 +44,50 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def build_levels(base, cf, block_sizes, n_levels=None, min_size=5):
+def level_ladder(N, M, block_sizes, n_levels=None, min_size=5):
+    """Static coarsening ladder: [(N_l, M_l, sizes_l), ...] per level."""
+    sizes = list(block_sizes)
+    ladder = [(N, M, sizes)]
+    while True:
+        if (n_levels is not None and len(ladder) >= n_levels) or \
+           min(N, M) <= min_size or \
+           all(min(ni, nj) <= min_size for ni, nj in sizes):
+            break
+        N, M = _coarse_size(N), _coarse_size(M)
+        sizes = [(_coarse_size(ni), _coarse_size(nj)) for ni, nj in sizes]
+        ladder.append((N, M, sizes))
+    return ladder
+
+
+def interior_mask_np(B, N, M, sizes):
+    """Host-side interior mask for one level; blocks beyond len(sizes)
+    (dummy padding) stay all-False."""
+    interior = np.zeros((B, N, M), dtype=bool)
+    for b, (ni, nj) in enumerate(sizes):
+        if ni >= 3 and nj >= 3:
+            interior[b, 1 : ni - 1, 1 : nj - 1] = True
+    return interior
+
+
+def build_levels(base, cf, block_sizes=None, n_levels=None, min_size=5,
+                 masks=None):
     """Build the multigrid hierarchy from the padded (B, N, M, 2) base.
 
     block_sizes: list of (ni, nj) actual block extents at the finest level.
+    masks: optional per-level interior masks (each (B, N_l, M_l) bool) —
+    pass these instead of block_sizes when the masks must be traced
+    operands (e.g. per-device slices inside shard_map).
     """
     B, N, M = base.shape[:3]
+    if masks is None:
+        ladder = level_ladder(N, M, block_sizes, n_levels, min_size)
+        masks = [jnp.asarray(interior_mask_np(B, Nl, Ml, sz))
+                 for Nl, Ml, sz in ladder]
     levels = []
-    sizes = list(block_sizes)
-    lvl = 0
-    while True:
-        interior = np.zeros((B, N, M), dtype=bool)
-        for b, (ni, nj) in enumerate(sizes):
-            if ni >= 3 and nj >= 3:
-                interior[b, 1 : ni - 1, 1 : nj - 1] = True
-        interior_j = jnp.asarray(interior)
+    for lvl, interior_j in enumerate(masks):
+        if lvl > 0:
+            base = base[:, ::2, ::2, :]
+            cf = cf[:, ::2, ::2, :]
 
         x_xi = 0.5 * (base[:, 2:, 1:-1] - base[:, :-2, 1:-1])
         x_eta = 0.5 * (base[:, 1:-1, 2:] - base[:, 1:-1, :-2])
@@ -74,17 +103,6 @@ def build_levels(base, cf, block_sizes, n_levels=None, min_size=5):
 
         levels.append(MGLevel(base=base, cf=cf, interior=interior_j,
                               diag=diag, lj=lj, li=li))  # dict subclass
-
-        if (n_levels is not None and len(levels) >= n_levels) or \
-           min(N, M) <= min_size or \
-           all(min(ni, nj) <= min_size for ni, nj in sizes):
-            break
-        # coarsen by stride-2 sampling
-        base = base[:, ::2, ::2, :]
-        cf = cf[:, ::2, ::2, :]
-        N, M = base.shape[1:3]
-        sizes = [(_coarse_size(ni), _coarse_size(nj)) for ni, nj in sizes]
-        lvl += 1
 
     return levels
 
