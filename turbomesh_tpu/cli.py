@@ -1,8 +1,10 @@
 """Command-line interface: ``turbomesh <config.json>``.
 
-Reference parity: src/gui/cmd.zig + src/gui/main.zig (minus the OpenGL
-window; use --plot for a matplotlib view instead). Exit codes follow the
-reference: 64 usage error, 66 cannot open input.
+Reference parity: src/gui/cmd.zig + src/gui/main.zig. Exit codes follow
+the reference: 64 usage error, 66 cannot open input. ``--gui`` (or
+``"gui": true`` in the config, input.zig:31/main.zig:60-128) opens the
+interactive viewer window after the run; ``--plot`` renders a static
+mesh.png instead.
 """
 
 from __future__ import annotations
@@ -26,7 +28,9 @@ def main(argv=None) -> int:
                    help="directory CSV profile paths resolve against "
                         "(default: config file's directory)")
     p.add_argument("--plot", action="store_true",
-                   help="show the mesh wireframe with matplotlib")
+                   help="render the mesh wireframe to mesh.png")
+    p.add_argument("--gui", action="store_true",
+                   help="open the interactive viewer window after the run")
     p.add_argument("--solver", default=None,
                    help="override solver backend (direct | device)")
     p.add_argument("--target-residual", type=float, default=None,
@@ -85,6 +89,10 @@ def main(argv=None) -> int:
 
     if args.plot:
         _plot(mesh)
+    if args.gui or inp.gui:
+        from .gui import view_mesh
+
+        view_mesh(mesh, title=os.path.basename(args.config))
     return 0
 
 
