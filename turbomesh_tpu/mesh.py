@@ -53,6 +53,11 @@ class Mesh:
     names: list[str] = dataclasses.field(default_factory=list)
     connections: list[Connection] = dataclasses.field(default_factory=list)
     boundary_conditions: list[Condition] = dataclasses.field(default_factory=list)
+    # blocks whose j_min side is a viscous wall, declared by the template
+    # (SURVEY.md §7.3 item 5: the reference hard-codes blocks 0..1 inside
+    # the White control function, wall_control_function.zig:72; here the
+    # topology declares them so boundary-layer forcing generalizes)
+    wall_blocks: list[int] = dataclasses.field(default_factory=list)
 
     def add_block(self, name: str, block: Block2d) -> int:
         self.blocks.append(block)

@@ -97,12 +97,22 @@ class White:
 
     # -- init (wall_control_function.zig:70-280) ------------------------------
 
+    @staticmethod
+    def _wall_blocks(mesh):
+        """Blocks with a j_min viscous wall. The template declares them
+        (mesh.wall_blocks); for meshes without the declaration fall back
+        to the reference's hard-coded blocks 0..1
+        (wall_control_function.zig:72)."""
+        if getattr(mesh, "wall_blocks", None):
+            return [b for b in mesh.wall_blocks
+                    if mesh.blocks[b].size[0] > 2 and mesh.blocks[b].size[1] > 2]
+        return list(range(min(2, len(mesh.blocks))))
+
     def init(self, mesh) -> np.ndarray:
         cf = np.zeros((mesh.num_points, 2), dtype=np.float64)
         starts = mesh.block_row_starts()
 
-        # hard-coded wall blocks 0..1 (blade_up/blade_down), as the reference
-        for b in range(min(2, len(mesh.blocks))):
+        for b in self._wall_blocks(mesh):
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
             x = pts[:, :, 0]
@@ -194,7 +204,7 @@ class White:
 
     def update(self, cf: np.ndarray, mesh) -> None:
         starts = mesh.block_row_starts()
-        for b in range(min(2, len(mesh.blocks))):
+        for b in self._wall_blocks(mesh):
             pts = mesh.blocks[b].points
             ni, nj = mesh.blocks[b].size
             x = pts[:, :, 0]

@@ -147,6 +147,8 @@ class O4H:
         blade_down_id = mesh.add_block(
             "blade_down", Block2d.from_edges(down_edge, blade_down_i_max, blade_up_j_min, blade_up_j_max)
         )
+        # the O-grid halves carry the viscous wall on j_min
+        mesh.wall_blocks = [blade_up_id, blade_down_id]
 
         # ---- Block IN (2) -------------------------------------------- O4H.zig:168-209
         in_j_min = Edge.combine([
