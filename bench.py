@@ -1,14 +1,19 @@
 """Benchmark: elliptic smoothing throughput (Mnodes/s/chip) on TPU.
 
-Runs the device (matrix-free JAX) smoother on a scaled-up T106 O4H cascade
-mesh for a fixed number of Picard iterations at the reference's linear
-tolerance (rtol 1e-6, atol 1e-8 — BiCGStab.zig:19-21), and prints ONE JSON
-line with the sustained node throughput.
+Runs the TPU device smoother (matrix-free padded-stack GMRES+multigrid,
+smoothing/device.py) on a scaled-up T106 O4H cascade mesh for a fixed
+number of Picard iterations at the reference's linear tolerance
+(rtol 1e-6, atol 1e-8 — BiCGStab.zig:19-21), and prints ONE JSON line.
 
-vs_baseline: speedup over the host-side sparse-direct oracle (scipy splu on
-the exact reference discretization — the stand-in for the reference's
-serial UMFPACK path, since the reference publishes no numbers;
-BASELINE.md) doing the same Picard iterations on the same mesh.
+value        : device-backend throughput — the framework's TPU number.
+vs_baseline  : device / host-sparse-direct oracle (scipy splu on the exact
+               reference discretization, standing in for the reference's
+               serial UMFPACK path since the reference publishes no
+               numbers; BASELINE.md). Honest ratio — below 1.0 means the
+               TPU path loses to the host oracle at this scale.
+
+Usage: python bench.py [scale_cells] [picard_iters]
+  scale_cells multiplies every O4H cell count (nodes ~ 25k * scale^2).
 """
 
 import json
@@ -50,7 +55,7 @@ def build_mesh(scale_cells: int = 4):
     return inp.template.run(inp.geometry)
 
 
-def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
+def main(scale_cells: int = 2, iters: int = 3):
     from turbomesh_tpu.smoothing.classify import classify
     from turbomesh_tpu.smoothing.device import DeviceSmoother
     from turbomesh_tpu.smoothing.system import SparseSystem
@@ -58,37 +63,41 @@ def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
     from turbomesh_tpu.smoothing.multigrid import build_levels, make_fused_vcycle
     import jax.numpy as jnp
 
+    platform = jax.devices()[0].platform
     mesh = build_mesh(scale_cells)
     n_nodes = mesh.num_points
     info = classify(mesh)
     cf = Laplace().init(mesh)
 
-    # --- backend 1: TPU-accelerated solver (host-f64 Krylov + fused TPU
-    # multigrid V-cycle preconditioner). On this tunneled single-chip
-    # runtime each Krylov iteration pays a host<->device field transfer.
-    dev = DeviceSmoother(mesh, info, rtol=1e-4, atol=1e-11,
-                         restart=30, max_restarts=6)
+    # --- backend 1: TPU device solver at reference linear tolerances
+    dev = DeviceSmoother(mesh, info, rtol=1e-6, atol=1e-8,
+                         restart=20, max_restarts=10)
     c = mesh.flat_coords()
-    c = dev.solve(c, cf)  # warm-up: compiles the V-cycle hierarchy
+    t0 = time.perf_counter()
+    c = dev.solve(c, cf)  # warm-up: compiles
+    compile_s = time.perf_counter() - t0
+    c = mesh.flat_coords()
     t0 = time.perf_counter()
     for _ in range(iters):
         c = dev.solve(c, cf)
     dt = time.perf_counter() - t0
     device_mnodes = n_nodes * iters / dt / 1e6
+    device_resid = dev.last_linear_residual
 
     # --- backend 2: host sparse-direct (exact reference discretization;
-    # stands in for the reference's serial UMFPACK path)
+    # stands in for the reference's serial UMFPACK path). Factorizes each
+    # solve, like the reference's UMFPACK backend (umfpack.zig:29-55).
     oracle = SparseSystem(mesh, info)
     co = mesh.flat_coords()
+    co = oracle.solve(co, cf)  # warm-up
+    co = mesh.flat_coords()
     t0 = time.perf_counter()
-    for _ in range(oracle_iters):
+    for _ in range(iters):
         co = oracle.solve(co, cf)
     dt_o = time.perf_counter() - t0
-    oracle_mnodes = n_nodes * oracle_iters / dt_o / 1e6
+    oracle_mnodes = n_nodes * iters / dt_o / 1e6
 
-    # --- pure on-chip kernel throughput: fused multigrid V-cycle with
-    # device-resident data (no tunnel transfers) — the TPU compute number
-    # that transfers currently mask end-to-end
+    # --- pure on-chip kernel rate: fused multigrid V-cycle, data resident
     p = dev.plan
     base32 = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
     base32[p.scatter_idx] = mesh.flat_coords()
@@ -107,7 +116,7 @@ def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
     r.block_until_ready()
     vcycle_mnodes = n_nodes * reps / (time.perf_counter() - t0) / 1e6
 
-    # Pallas red-black SOR kernel rate (VMEM-resident single block)
+    # --- Pallas red-black SOR kernel rate (VMEM-resident single block)
     from turbomesh_tpu.ops.sor import red_black_sor
 
     nb, mb = 256, 256
@@ -117,7 +126,7 @@ def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
     imask[1:-1, 1:-1] = True
     cfb = np.zeros((nb, mb, 2), np.float32)
     args = [jnp.asarray(eb), jnp.asarray(cfb), jnp.asarray(eb), jnp.asarray(imask)]
-    use_pallas = jax.devices()[0].platform == "tpu"
+    use_pallas = platform == "tpu"
     x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
     x.block_until_ready()
     t0 = time.perf_counter()
@@ -126,27 +135,24 @@ def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
     x.block_until_ready()
     sor_rate = nb * mb * 50 * 10 / (time.perf_counter() - t0) / 1e6
 
-    best = max(device_mnodes, oracle_mnodes)
     print(json.dumps({
         "metric": "elliptic_smoothing_throughput",
-        "value": round(best, 4),
+        "value": round(device_mnodes, 4),
         "unit": "Mnodes/s/chip",
-        "vs_baseline": round(best / oracle_mnodes, 3),
+        "vs_baseline": round(device_mnodes / oracle_mnodes, 3),
         "detail": {
             "nodes": n_nodes,
+            "scale_cells": scale_cells,
             "picard_iters": iters,
-            "best_backend": ("tpu_mg_krylov" if device_mnodes >= oracle_mnodes
+            "best_backend": ("tpu_device" if device_mnodes >= oracle_mnodes
                              else "host_direct_native"),
             "tpu_backend_mnodes_per_s": round(device_mnodes, 4),
             "host_direct_mnodes_per_s": round(oracle_mnodes, 4),
+            "device_linear_residual": float(device_resid),
+            "compile_s": round(compile_s, 1),
             "onchip_vcycle_mnodes_per_s": round(vcycle_mnodes, 1),
             "pallas_sor_mnode_sweeps_per_s": round(sor_rate, 0),
-            "platform": jax.devices()[0].platform,
-            "note": ("end-to-end TPU-backend throughput on this tunneled "
-                     "single-chip runtime is host<->device transfer-bound "
-                     "(one field round-trip per Krylov iteration); the "
-                     "on-chip V-cycle number is the untunneled kernel rate "
-                     "- see ROADMAP.md"),
+            "platform": platform,
         },
     }))
 
@@ -154,7 +160,6 @@ def main(scale_cells: int = 1, iters: int = 3, oracle_iters: int = 3):
 if __name__ == "__main__":
     import sys
 
-    # default scale 1 (~25k nodes): bounded wall-clock on the tunneled TPU
-    # runtime; pass an explicit scale for larger runs
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    main(scale_cells=scale)
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    main(scale_cells=scale, iters=iters)

@@ -16,6 +16,15 @@ import time
 
 
 def main(argv=None) -> int:
+    # honor TURBOMESH_PLATFORM=cpu|tpu before any JAX use: some
+    # environments pin the JAX platform in sitecustomize, where the
+    # JAX_PLATFORMS env var alone is ignored
+    platform = os.environ.get("TURBOMESH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     p = argparse.ArgumentParser(
         prog="turbomesh",
         description="TPU-native block-structured mesh generation",

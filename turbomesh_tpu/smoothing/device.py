@@ -292,6 +292,10 @@ class DeviceSmoother:
             return x.astype(jnp.float32) if x.dtype == jnp.float64 else x
 
         self._jnp_plan32 = jax.tree.map(_to32, self._jnp_plan)
+        # static inter-block glue maps for the glued multigrid hierarchy
+        from .glue import build_glue
+
+        self._glue = build_glue(mesh, info, p.N, p.M)
         self._solve_jit = jax.jit(self._solve_impl)
         self._jit_base = jax.jit(self._stage_base)
         self._jit_sub = jax.jit(self._stage_sub)
@@ -302,7 +306,7 @@ class DeviceSmoother:
         self._jit_A32 = jax.jit(self._stage_A32)
         self._jit_Minv = jax.jit(self._stage_Minv)
         self._jit_Minv_finish = jax.jit(self._stage_Minv_finish)
-        self._host_vcycle = None
+        self._jit_vcycle = jax.jit(self._stage_vcycle_interior)
         self._jit_finish = jax.jit(self._stage_finish)
 
     # -- residual / operator --------------------------------------------------
@@ -496,9 +500,9 @@ class DeviceSmoother:
         else:
             z = jnp.zeros((0,), jnp.float32)
             ch = (z, z, z)
-        from .multigrid import build_levels
+        from .multigrid import build_glued_levels
 
-        levels = build_levels(baseX32, cf32, [b for b in self._block_sizes])
+        levels = build_glued_levels(baseX32, cf32, self._glue)
         return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
                     lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
                     mg=[dict(lv) for lv in levels])
@@ -512,16 +516,19 @@ class DeviceSmoother:
                            with_offsets=jnp.float32(0.0))
 
     def _stage_vcycle_interior(self, ctx, vflat):
-        """f32 multigrid V-cycle on block interiors (zero elsewhere)."""
-        from .multigrid import v_cycle, MGLevel
+        """f32 glued multigrid V-cycle: block interiors + SMOOTHED
+        connection-face rows relax together (ghost halos + slave sync at
+        every level), so error modes smooth across interfaces are damped
+        by the hierarchy instead of being left to the Krylov iteration."""
+        from .multigrid import v_cycle_glued, MGLevel
 
         p32 = self._jnp_plan32
         B, N, M = self.plan.B, self.plan.N, self.plan.M
-        interior = p32["interior_mask"][..., None]
         levels = [MGLevel(lv) for lv in ctx["mg"]]
+        mask = levels[0].interior[..., None]  # interior + SMOOTHED faces
         v = vflat.reshape(B, N, M, 2)
-        z = v_cycle(levels, jnp.where(interior, v, 0.0))
-        z = jnp.where(interior & p32["free_mask"], z, 0.0)
+        z = v_cycle_glued(levels, jnp.where(mask, v, 0.0))
+        z = jnp.where(mask & p32["free_mask"], z, 0.0)
         return z.reshape(-1, 2)
 
     def _stage_interface(self, ctx, vflat):
@@ -575,10 +582,7 @@ class DeviceSmoother:
         correction (for the host-orchestrated path where the V-cycle ran
         as its own program): same multiplicative composition as
         _stage_Minv, with z_interior standing in for the fused V-cycle."""
-        p32 = self._jnp_plan32
-        interior = p32["interior_mask"][..., None]
-        z = jnp.where(interior & p32["free_mask"], z_interior, 0.0)
-        z = z.reshape(-1, 2)
+        z = z_interior.reshape(-1, 2)  # already masked by the vcycle stage
         rr = vflat - self._stage_A32(ctx, z)
         return z + self._stage_interface(ctx, rr)
 
@@ -624,15 +628,8 @@ class DeviceSmoother:
         if fused:
             return self._jit_inner(ctx, C, rpad)
 
-        from .multigrid import HostVCycle, MGLevel
-
         p = self.plan
         B, N, M = p.B, p.N, p.M
-        if self._host_vcycle is None:
-            self._host_vcycle = HostVCycle(
-                [MGLevel(lv) for lv in ctx["mg"]])
-        else:
-            self._host_vcycle.levels = [MGLevel(lv) for lv in ctx["mg"]]
 
         row_diag = ctx["diag"].reshape(-1, 2)
         inv_row = 1.0 / row_diag
@@ -642,7 +639,7 @@ class DeviceSmoother:
 
         def M_s(v):
             vflat = row_diag * v
-            z = self._host_vcycle(vflat.reshape(B, N, M, 2))
+            z = self._jit_vcycle(ctx, vflat).reshape(B, N, M, 2)
             return self._jit_Minv_finish(ctx, vflat, z)
 
         r32 = inv_row * rpad.astype(jnp.float32)

@@ -312,3 +312,161 @@ def make_fused_vcycle(levels, pre=1, post=1, coarse_iters=4):
         return v_cycle(levels, r, 0, pre, post, coarse_iters)
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Glued multigrid: connection faces participate at every level via ghost
+# halos + slave sync (smoothing/glue.py). This is the preconditioner that
+# actually damps error modes smooth ACROSS block interfaces — the
+# interior-only V-cycle above leaves them to the Krylov iteration.
+# ---------------------------------------------------------------------------
+
+
+def build_glued_levels(base, cf, glue_levels):
+    """Build the glued hierarchy. base/cf: (B, N, M, 2) padded stacks
+    (finest); glue_levels: list[glue.GlueLevel] (host-static). Level
+    fields are ghost-augmented where needed; stencil coefficients use the
+    GLUED base so face-row equations couple across blocks."""
+    levels = []
+    for lvl, gl in enumerate(glue_levels):
+        if lvl > 0:
+            base = base[:, ::2, ::2, :]
+            cf = cf[:, ::2, ::2, :]
+        mask = jnp.asarray(gl.smooth_mask)
+        src = jnp.asarray(gl.src.astype(np.int32))
+        dst = jnp.asarray(gl.dst.astype(np.int32))
+        off = jnp.asarray(gl.off, dtype=base.dtype)
+
+        baseg = _glue_pad(base, src, dst, off, coord_field=True)
+        # glued metrics over the whole block region (faces included)
+        x_xi = 0.5 * (baseg[:, 2:, 1:-1] - baseg[:, :-2, 1:-1])
+        x_eta = 0.5 * (baseg[:, 1:-1, 2:] - baseg[:, 1:-1, :-2])
+        g11 = jnp.sum(x_xi * x_xi, axis=-1)
+        g22 = jnp.sum(x_eta * x_eta, axis=-1)
+        diag = jnp.where(mask, -2.0 * (g11 + g22), 1.0)
+        diag = jnp.where(diag == 0.0, 1.0, diag)
+
+        P = cf[..., 0]
+        Q = cf[..., 1]
+        c_jp1 = g11 * (1 + 0.5 * Q)
+        c_jm1 = g11 * (1 - 0.5 * Q)
+        c_ip1 = g22 * (1 + 0.5 * P)
+        c_im1 = g22 * (1 - 0.5 * P)
+        lj = (jnp.where(mask, c_jm1, 0.0), diag, jnp.where(mask, c_jp1, 0.0))
+        li = (jnp.where(mask, c_im1, 0.0), diag, jnp.where(mask, c_ip1, 0.0))
+
+        levels.append(MGLevel(baseg=baseg, cf=cf, interior=mask,
+                              diag=diag, lj=lj, li=li,
+                              gsrc=src, gdst=dst))
+    return levels
+
+
+def _glue_pad(v, src, dst, off, coord_field=False):
+    """Pad (B, N, M, C) with one ghost ring and apply the glue map."""
+    vg = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    shape = vg.shape
+    vf = vg.reshape(-1, v.shape[-1])
+    vals = vf[src]
+    if coord_field:
+        vals = vals + off
+    return vf.at[dst].set(vals).reshape(shape)
+
+
+def _apply_glued(level: MGLevel, v):
+    """Winslow stencil over the glued field; rows = smooth mask
+    (interior + SMOOTHED connection faces)."""
+    baseg = level.baseg
+    vg = _glue_pad(v, level.gsrc, level.gdst, None)
+    x_xi = 0.5 * (baseg[:, 2:, 1:-1] - baseg[:, :-2, 1:-1])
+    x_eta = 0.5 * (baseg[:, 1:-1, 2:] - baseg[:, 1:-1, :-2])
+    g11 = jnp.sum(x_xi * x_xi, axis=-1)[..., None]
+    g22 = jnp.sum(x_eta * x_eta, axis=-1)[..., None]
+    g12 = jnp.sum(x_xi * x_eta, axis=-1)[..., None]
+    P = level.cf[..., 0][..., None]
+    Q = level.cf[..., 1][..., None]
+
+    out = (
+        (-2.0 * g22 - 2.0 * g11) * vg[:, 1:-1, 1:-1]
+        + g22 * (1 + 0.5 * P) * vg[:, 2:, 1:-1]
+        + g22 * (1 - 0.5 * P) * vg[:, :-2, 1:-1]
+        + g11 * (1 + 0.5 * Q) * vg[:, 1:-1, 2:]
+        + g11 * (1 - 0.5 * Q) * vg[:, 1:-1, :-2]
+        - 0.5 * g12 * vg[:, 2:, 2:]
+        + 0.5 * g12 * vg[:, 2:, :-2]
+        + 0.5 * g12 * vg[:, :-2, 2:]
+        - 0.5 * g12 * vg[:, :-2, :-2]
+    )
+    return jnp.where(level.interior[..., None], out, 0.0)
+
+
+def _smooth_glued(level: MGLevel, r, z):
+    """Alternating zebra line relaxation over the glued mesh (same scheme
+    as _smooth, with glued residuals so face rows relax coupled)."""
+    mask = level.interior[..., None]
+
+    def line_j(rr):
+        dl, d, du = level.lj
+        return jnp.where(mask, tridiag_solve(dl, d, du, rr), 0.0)
+
+    def line_i(rr):
+        dl, d, du = level.li
+        sol = tridiag_solve(jnp.swapaxes(dl, 1, 2), jnp.swapaxes(d, 1, 2),
+                            jnp.swapaxes(du, 1, 2), jnp.swapaxes(rr, 1, 2))
+        return jnp.where(mask, jnp.swapaxes(sol, 1, 2), 0.0)
+
+    B, N, M = level.interior.shape
+    dt = r.dtype
+    odd_i = (jax.lax.broadcasted_iota(jnp.int32, (1, N, 1, 1), 1) % 2).astype(dt)
+    odd_j = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, M, 1), 2) % 2).astype(dt)
+
+    for par in (0.0, 1.0):
+        sel = jnp.where(odd_j == par, 1.0, 0.0)
+        res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+        z = z + sel * line_i(res)
+    for par in (0.0, 1.0):
+        sel = jnp.where(odd_i == par, 1.0, 0.0)
+        res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+        z = z + sel * line_j(res)
+    return z
+
+
+def _restrict_glued(level: MGLevel, r, coarse_shape):
+    """Full-weighting restriction using glued residual ghosts, so the
+    stencil at a face point weights the partner block's residuals."""
+    B, Nc, Mc = coarse_shape
+    rp = _glue_pad(r, level.gsrc, level.gdst, None)
+
+    def at(di, dj):
+        return rp[:, 1 + di : 1 + di + 2 * Nc - 1 : 2,
+                  1 + dj : 1 + dj + 2 * Mc - 1 : 2, :]
+
+    out = (4.0 * at(0, 0)
+           + 2.0 * (at(1, 0) + at(-1, 0) + at(0, 1) + at(0, -1))
+           + (at(1, 1) + at(1, -1) + at(-1, 1) + at(-1, -1))) / 16.0
+    return out
+
+
+def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4):
+    """Glued multigrid V-cycle (static recursion, one jittable program)."""
+    level = levels[level_idx]
+    mask = level.interior[..., None]
+    r = jnp.where(mask, r, 0.0)
+    z = jnp.zeros_like(r)
+
+    if level_idx == len(levels) - 1:
+        for _ in range(coarse_iters):
+            z = _smooth_glued(level, r, z)
+        return z
+
+    for _ in range(pre):
+        z = _smooth_glued(level, r, z)
+
+    res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+    coarse = levels[level_idx + 1]
+    rc = 16.0 * _restrict_glued(level, res, coarse.interior.shape)
+    zc = v_cycle_glued(levels, rc, level_idx + 1, pre, post, coarse_iters)
+    z = z + jnp.where(mask, _prolong(zc, level.interior.shape), 0.0)
+
+    for _ in range(post):
+        z = _smooth_glued(level, r, z)
+    return z
