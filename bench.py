@@ -70,8 +70,11 @@ def main(scale_cells: int = 2, iters: int = 3):
     cf = Laplace().init(mesh)
 
     # --- backend 1: TPU device solver at reference linear tolerances
+    # the glued-MG V-I preconditioner converges the f32 inner solve in a
+    # few iterations; a small restart keeps the fixed-length Arnoldi
+    # fori_loop (and the compiled program) small
     dev = DeviceSmoother(mesh, info, rtol=1e-6, atol=1e-8,
-                         restart=20, max_restarts=10)
+                         restart=6, max_restarts=8)
     c = mesh.flat_coords()
     t0 = time.perf_counter()
     c = dev.solve(c, cf)  # warm-up: compiles
@@ -127,8 +130,13 @@ def main(scale_cells: int = 2, iters: int = 3):
     cfb = np.zeros((nb, mb, 2), np.float32)
     args = [jnp.asarray(eb), jnp.asarray(cfb), jnp.asarray(eb), jnp.asarray(imask)]
     use_pallas = platform == "tpu"
-    x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
-    x.block_until_ready()
+    try:
+        x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
+        x.block_until_ready()
+    except Exception:  # flaky remote Pallas compile service — XLA fallback
+        use_pallas = False
+        x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
+        x.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(10):
         x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)

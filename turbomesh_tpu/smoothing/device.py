@@ -248,10 +248,15 @@ def _interior_diag(base):
 class DeviceSmoother:
     """Drop-in replacement for SparseSystem.solve on the TPU path."""
 
+    #: default glued-V-cycle schedule; override per-instance via mg_opts.
+    MG_DEFAULTS = dict(pre=1, post=1, coarse_iters=4,
+                       pre_dirs="ij", post_dirs="ij", n_levels=None)
+
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-12, atol: float = 1e-14,
-                 restart: int = 30, max_restarts: int = 400,
-                 max_iters: int | None = None, max_refine: int = 20):
+                 restart: int = 10, max_restarts: int = 100,
+                 max_iters: int | None = None, max_refine: int = 20,
+                 mg_opts: dict | None = None):
         self.plan = build_plan(mesh, info)
         self._block_sizes = [b.size for b in mesh.blocks]
         self._mesh = mesh
@@ -295,7 +300,9 @@ class DeviceSmoother:
         # static inter-block glue maps for the glued multigrid hierarchy
         from .glue import build_glue
 
-        self._glue = build_glue(mesh, info, p.N, p.M)
+        self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
+        self._glue = build_glue(mesh, info, p.N, p.M,
+                                n_levels=self.mg_opts["n_levels"])
         self._solve_jit = jax.jit(self._solve_impl)
         self._jit_base = jax.jit(self._stage_base)
         self._jit_sub = jax.jit(self._stage_sub)
@@ -427,30 +434,37 @@ class DeviceSmoother:
 
     def _solve_impl(self, Xpad, cf_pad):
         """One full linearized solve as a single jittable program:
-        f64 iterative refinement around the fused f32 GMRES+V-cycle inner
-        solver. Also the driver compile-check entry."""
+        exact-f64 FGMRES over the equilibrated system, preconditioned by
+        one f32 glued-multigrid V-I application per iteration. The f64
+        operator applications are cheap (one stencil pass); the V-cycle
+        dominates and runs in f32; FGMRES tolerates the varying f32
+        preconditioner where standard GMRES's Arnoldi relation breaks.
+        Also the driver compile-check entry."""
+        from .krylov import restarted_fgmres
+
         base, b = self._stage_base(Xpad, cf_pad)
         ctx = self._stage_prepare32(base, cf_pad)
         free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
-        bnorm = jnp.linalg.norm(b)
-        tol = jnp.maximum(self.rtol * bnorm, self.atol)
 
-        def cond(state):
-            k, x, rn = state
-            return jnp.logical_and(k < self.max_refine, rn > tol)
+        # no equilibration on the f64 outer iteration: A∘M is similar to
+        # its equilibrated conjugate (identical spectrum), and the plain
+        # residual norm matches the reference's stop test
+        # (rtol/atol on the assembled system residual, GMRES.zig:21-24)
+        def A_(v):
+            return self._stage_apply64(base, cf_pad, v)
 
-        def body(state):
-            k, x, _ = state
-            r = b - self._stage_apply64(base, cf_pad, x)
-            x = x + jnp.where(free64, self._stage_inner(ctx, cf_pad, r), 0.0)
-            r_new = b - self._stage_apply64(base, cf_pad, x)
-            return (k + 1, x, jnp.linalg.norm(r_new))
+        def M_(v):
+            return self._stage_Minv(ctx, v.astype(jnp.float32)
+                                    ).astype(jnp.float64)
 
-        x0 = jnp.zeros_like(b)
-        _, delta, rnorm = jax.lax.while_loop(
-            cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf)))
+        d, rn = restarted_fgmres(
+            A_, b, M_, dot=lambda x, y: jnp.sum(x * y),
+            rtol=jnp.float64(self.rtol), atol=jnp.float64(self.atol),
+            restart=self.restart, max_restarts=self.max_restarts)
+        delta = jnp.where(free64, d, 0.0)
+        tol = jnp.maximum(self.rtol * jnp.linalg.norm(b), self.atol)
         X1 = self._stage_finish(base, delta)
-        return X1.reshape(Xpad.shape), rnorm
+        return X1.reshape(Xpad.shape), rn, rn <= tol
 
     # ---- staged kernels (separately jitted in __init__) ---------------------
 
@@ -527,7 +541,11 @@ class DeviceSmoother:
         levels = [MGLevel(lv) for lv in ctx["mg"]]
         mask = levels[0].interior[..., None]  # interior + SMOOTHED faces
         v = vflat.reshape(B, N, M, 2)
-        z = v_cycle_glued(levels, jnp.where(mask, v, 0.0))
+        o = self.mg_opts
+        z = v_cycle_glued(levels, jnp.where(mask, v, 0.0),
+                          pre=o["pre"], post=o["post"],
+                          coarse_iters=o["coarse_iters"],
+                          pre_dirs=o["pre_dirs"], post_dirs=o["post_dirs"])
         z = jnp.where(mask & p32["free_mask"], z, 0.0)
         return z.reshape(-1, 2)
 
@@ -651,27 +669,65 @@ class DeviceSmoother:
     # -- host API (matches SparseSystem.solve) --------------------------------
 
     def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
-        """One linearized Picard solve, fully device-resident:
-
-        - pad + upload the field once (h2d);
-        - f64 iterative refinement with all fields staying on device:
-          each pass is one fused f32 GMRES+V-cycle inner solve plus one
-          small f64 residual program; only the residual *norm* (one
-          scalar) crosses to host per pass;
-        - download the smoothed field once (d2h).
+        """One linearized Picard solve, fully device-resident: pad +
+        upload the field once, run the fused f64-FGMRES/f32-glued-MG
+        program (_solve_impl — ONE device dispatch, no intermediate
+        host round-trips), download the smoothed field once.
 
         The round-1 architecture (host f64 Krylov over native C++ kernels
         with one tunneled V-cycle call per Krylov iteration) paid a field
         round-trip per iteration — d2h through the axon tunnel runs at
-        ~15 MB/s with ~50 ms latency, which made the TPU a net loss. It is
-        kept as _solve_host_krylov (TURBOMESH_HOST_KRYLOV=1) for runtimes
-        where the fused f32 program cannot compile.
+        ~15 MB/s with ~50 ms latency, which made the TPU a net loss.
+        Fallbacks: TURBOMESH_FUSED_SOLVE=0 -> staged iterative refinement
+        (separately-jitted pieces, scalar-only round-trips);
+        TURBOMESH_HOST_KRYLOV=1 -> round-1 host-Krylov architecture.
         """
         import os
 
         if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1":
             return self._solve_host_krylov(coords, cf)
+        if os.environ.get("TURBOMESH_FUSED_SOLVE") == "0":
+            return self._solve_staged(coords, cf)
 
+        from .krylov import _warn_nonconverged
+
+        p = self.plan
+        Xpad = np.zeros((p.B * p.N * p.M, 2))
+        Xpad[p.scatter_idx] = coords
+        cfpad = np.zeros((p.B * p.N * p.M, 2))
+        cfpad[p.scatter_idx] = cf
+
+        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+        try:
+            X1, rn, ok = self._solve_jit(X, C)
+        except Exception as e:  # noqa: BLE001 — compile-service fallback
+            # the remote TPU compile service intermittently rejects
+            # Pallas kernels (Mosaic 500s); fall back to the pure-XLA
+            # smoother rather than failing the solve
+            if not ("Mosaic" in str(e) or "remote_compile" in str(e)):
+                raise
+            import logging
+
+            logging.getLogger("turbomesh.device").warning(
+                "Pallas smoother failed to compile (%s); retrying with "
+                "the XLA zebra smoother", str(e).splitlines()[0][:120])
+            os.environ["TURBOMESH_PALLAS"] = "0"
+            self._solve_jit = jax.jit(self._solve_impl)
+            X1, rn, ok = self._solve_jit(X, C)
+        rn = float(rn)
+        if not bool(ok):
+            _warn_nonconverged("device fgmres",
+                               self.restart * self.max_restarts, rn,
+                               self.atol)
+        self.last_linear_residual = rn
+        return np.asarray(X1).reshape(-1, 2)[p.scatter_idx]
+
+    def _solve_staged(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
+        """Staged fallback: f64 iterative refinement on host over
+        device-resident fields; each pass is one fused f32 GMRES+V-cycle
+        inner solve plus one small f64 residual program; only the
+        residual norm (one scalar) crosses per pass."""
         from .krylov import _warn_nonconverged
 
         p = self.plan

@@ -86,6 +86,69 @@ def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
     return x, rn
 
 
+def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
+    """Flexible restarted GMRES (FGMRES, Saad 1993): stores the
+    preconditioned directions Z_k = M_inv(V_k) and forms the update from
+    Z, so M_inv may vary between applications — required when the
+    preconditioner runs in a lower precision than the Krylov iteration
+    (each f32 application is a slightly different linear operator, which
+    breaks the Arnoldi relation of standard right-preconditioned GMRES).
+
+    Same fused structure as restarted_gmres (lax loops, one jittable
+    program); costs one extra basis copy of memory.
+    """
+    bnorm = jnp.sqrt(dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+    m = restart
+
+    def fgmres_cycle(x):
+        r = b - A(x)
+        beta = jnp.sqrt(dot(r, r))
+        V = jnp.zeros((m + 1,) + b.shape, b.dtype)
+        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+        Z = jnp.zeros((m,) + b.shape, b.dtype)
+        H = jnp.zeros((m + 1, m), b.dtype)
+
+        def arnoldi(k, carry):
+            V, Z, H = carry
+            z = M_inv(V[k])
+            Z = Z.at[k].set(z)
+            w = A(z)
+
+            def mgs(i, wh):
+                w, H = wh
+                hik = dot(w, V[i])
+                H = H.at[i, k].set(jnp.where(i <= k, hik, H[i, k]))
+                w = jnp.where(i <= k, w - hik * V[i], w)
+                return (w, H)
+
+            w, H = jax.lax.fori_loop(0, m, mgs, (w, H))
+            hk1 = jnp.sqrt(dot(w, w))
+            H = H.at[k + 1, k].set(hk1)
+            V = V.at[k + 1].set(w / jnp.where(hk1 == 0, 1.0, hk1))
+            return (V, Z, H)
+
+        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V, Z, H))
+        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+        y = _lsq_givens(H, e1, m)
+        return x + jnp.tensordot(y, Z, axes=1)
+
+    def cond(state):
+        i, x, rn = state
+        return jnp.logical_and(i < max_restarts, rn > tol)
+
+    def body(state):
+        i, x, _ = state
+        x = fgmres_cycle(x)
+        r = b - A(x)
+        return (i + 1, x, jnp.sqrt(dot(r, r)))
+
+    x0 = jnp.zeros_like(b)
+    _, x, rn = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf, b.dtype)))
+    return x, rn
+
+
 def _lsq_givens(H, g, m):
     """Least squares min ||H y - g|| for Hessenberg H (m+1, m) via Givens
     rotations + back substitution. Uses only elementwise ops — LAPACK-style

@@ -399,9 +399,75 @@ def _apply_glued(level: MGLevel, v):
     return jnp.where(level.interior[..., None], out, 0.0)
 
 
-def _smooth_glued(level: MGLevel, r, z):
-    """Alternating zebra line relaxation over the glued mesh (same scheme
-    as _smooth, with glued residuals so face rows relax coupled)."""
+def _use_zebra_pallas(level: MGLevel) -> bool:
+    """Run the fused Pallas zebra kernel for this level? Static decision
+    at trace time: TPU backend, f32 data, and the level's planes fit the
+    kernel's VMEM budget. TURBOMESH_PALLAS=0 opts out."""
+    import os
+
+    from ..ops.zebra import zebra_supported
+
+    if os.environ.get("TURBOMESH_PALLAS", "1") != "1":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if "baseg" not in level or level.baseg.dtype != jnp.float32:
+        return False
+    B, N, M = level.interior.shape
+    return zebra_supported(B, N + 2, M + 2)
+
+
+def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij"):
+    """Pallas-fused zebra pass: one kernel launch per (direction, color)
+    half-sweep instead of ~50 XLA ops (ops/zebra.py)."""
+    from ..ops.zebra import zebra_pass
+
+    B, N, M = level.interior.shape
+    dt = r.dtype
+
+    def pad1(a, v):
+        return jnp.pad(a, ((0, 0), (1, 1), (1, 1)), constant_values=v)
+
+    bx, by = level.baseg[..., 0], level.baseg[..., 1]
+    cfp, cfq = pad1(level.cf[..., 0], 0.0), pad1(level.cf[..., 1], 0.0)
+    rx, ry = pad1(r[..., 0], 0.0), pad1(r[..., 1], 0.0)
+    mask = pad1(level.interior.astype(dt), 0.0)
+    odd_i = (jax.lax.broadcasted_iota(jnp.int32, (1, N + 2, 1), 1) + 1) % 2
+    odd_j = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, M + 2), 2) + 1) % 2
+    odd_i = jnp.broadcast_to(odd_i, mask.shape).astype(dt)
+    odd_j = jnp.broadcast_to(odd_j, mask.shape).astype(dt)
+
+    lj = tuple(pad1(a, v) for a, v in zip(level.lj, (0.0, 1.0, 0.0)))
+    li = tuple(pad1(a, v) for a, v in zip(level.li, (0.0, 1.0, 0.0)))
+
+    passes = []
+    if "i" in directions:  # lines along i, colored by j parity
+        passes += [(li, 0, odd_j, 0.0), (li, 0, odd_j, 1.0)]
+    if "j" in directions:  # lines along j, colored by i parity
+        passes += [(lj, 1, odd_i, 0.0), (lj, 1, odd_i, 1.0)]
+
+    for (dl, d, du), axis, odd, par in passes:
+        zg = _glue_pad(z, level.gsrc, level.gdst, None)
+        sel = mask * jnp.where(odd == par, 1.0, 0.0)
+        zx, zy = zebra_pass(bx, by, cfp, cfq, dl, d, du, mask, sel,
+                            rx, ry, zg[..., 0], zg[..., 1], axis=axis,
+                            use_pallas=jax.default_backend() == "tpu")
+        z = jnp.stack([zx[:, 1:-1, 1:-1], zy[:, 1:-1, 1:-1]], axis=-1)
+        # the glue wrote master values into slave rows of zg; corrections
+        # live on smoothed rows only (the glue re-syncs them each apply)
+        z = jnp.where(level.interior[..., None], z, 0.0)
+    return z
+
+
+def _smooth_glued(level: MGLevel, r, z, directions="ij"):
+    """Zebra line relaxation over the glued mesh (same scheme as _smooth,
+    with glued residuals so face rows relax coupled). ``directions``
+    selects which line sweeps run: "ij" = alternating (4 residual applies
+    + 4 line solves), "i" or "j" = single direction (half the cost —
+    pair a "j" pre-smoother with an "i" post-smoother for an alternating
+    cycle at half the per-smooth price)."""
+    if _use_zebra_pallas(level):
+        return _smooth_glued_pallas(level, r, z, directions)
     mask = level.interior[..., None]
 
     def line_j(rr):
@@ -419,14 +485,16 @@ def _smooth_glued(level: MGLevel, r, z):
     odd_i = (jax.lax.broadcasted_iota(jnp.int32, (1, N, 1, 1), 1) % 2).astype(dt)
     odd_j = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, M, 1), 2) % 2).astype(dt)
 
-    for par in (0.0, 1.0):
-        sel = jnp.where(odd_j == par, 1.0, 0.0)
-        res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
-        z = z + sel * line_i(res)
-    for par in (0.0, 1.0):
-        sel = jnp.where(odd_i == par, 1.0, 0.0)
-        res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
-        z = z + sel * line_j(res)
+    if "i" in directions:
+        for par in (0.0, 1.0):
+            sel = jnp.where(odd_j == par, 1.0, 0.0)
+            res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+            z = z + sel * line_i(res)
+    if "j" in directions:
+        for par in (0.0, 1.0):
+            sel = jnp.where(odd_i == par, 1.0, 0.0)
+            res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+            z = z + sel * line_j(res)
     return z
 
 
@@ -446,7 +514,8 @@ def _restrict_glued(level: MGLevel, r, coarse_shape):
     return out
 
 
-def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4):
+def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4,
+                  pre_dirs="ij", post_dirs="ij"):
     """Glued multigrid V-cycle (static recursion, one jittable program)."""
     level = levels[level_idx]
     mask = level.interior[..., None]
@@ -459,14 +528,15 @@ def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4):
         return z
 
     for _ in range(pre):
-        z = _smooth_glued(level, r, z)
+        z = _smooth_glued(level, r, z, pre_dirs)
 
     res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
     coarse = levels[level_idx + 1]
     rc = 16.0 * _restrict_glued(level, res, coarse.interior.shape)
-    zc = v_cycle_glued(levels, rc, level_idx + 1, pre, post, coarse_iters)
+    zc = v_cycle_glued(levels, rc, level_idx + 1, pre, post, coarse_iters,
+                       pre_dirs, post_dirs)
     z = z + jnp.where(mask, _prolong(zc, level.interior.shape), 0.0)
 
     for _ in range(post):
-        z = _smooth_glued(level, r, z)
+        z = _smooth_glued(level, r, z, post_dirs)
     return z
