@@ -253,7 +253,7 @@ class DeviceSmoother:
                        pre_dirs="ij", post_dirs="ij", n_levels=None)
 
     def __init__(self, mesh, info: BoundaryInfo,
-                 rtol: float = 1e-12, atol: float = 1e-14,
+                 rtol: float = 1e-13, atol: float = 1e-15,
                  restart: int = 10, max_restarts: int = 100,
                  max_iters: int | None = None, max_refine: int = 20,
                  mg_opts: dict | None = None):
@@ -446,25 +446,36 @@ class DeviceSmoother:
         ctx = self._stage_prepare32(base, cf_pad)
         free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
 
-        # no equilibration on the f64 outer iteration: A∘M is similar to
-        # its equilibrated conjugate (identical spectrum), and the plain
-        # residual norm matches the reference's stop test
-        # (rtol/atol on the assembled system residual, GMRES.zig:21-24)
-        def A_(v):
-            return self._stage_apply64(base, cf_pad, v)
+        # equilibrated iteration: FGMRES minimizes the row-scaled
+        # residual, which is the criterion the 1e-10 node-for-node bar
+        # needs (an unequilibrated norm under-resolves the tiny-h^2-diag
+        # wall rows by ~1/diag). The reference's own plain-residual stop
+        # test (GMRES.zig:21-24) is kept as a secondary criterion so
+        # reference-tolerance solves do comparable work.
+        row_diag = ctx["diag"].astype(jnp.float64).reshape(-1, 2)
+        inv_row = 1.0 / row_diag
 
-        def M_(v):
-            return self._stage_Minv(ctx, v.astype(jnp.float32)
-                                    ).astype(jnp.float64)
+        def A_s(v):
+            return inv_row * self._stage_apply64(base, cf_pad, v)
 
-        d, rn = restarted_fgmres(
-            A_, b, M_, dot=lambda x, y: jnp.sum(x * y),
+        def M_s(v):
+            v32 = (row_diag * v).astype(jnp.float32)
+            return self._stage_Minv(ctx, v32).astype(jnp.float64)
+
+        b_s = inv_row * b
+        tol2 = jnp.maximum(self.rtol * jnp.linalg.norm(b), self.atol)
+        d_s, rn_s = restarted_fgmres(
+            A_s, b_s, M_s, dot=lambda x, y: jnp.sum(x * y),
             rtol=jnp.float64(self.rtol), atol=jnp.float64(self.atol),
-            restart=self.restart, max_restarts=self.max_restarts)
-        delta = jnp.where(free64, d, 0.0)
-        tol = jnp.maximum(self.rtol * jnp.linalg.norm(b), self.atol)
+            restart=self.restart, max_restarts=self.max_restarts,
+            w2=row_diag, tol2=tol2)
+        delta = jnp.where(free64, d_s, 0.0)
+        # true unequilibrated residual for the convergence report
+        rnorm = jnp.linalg.norm(b - self._stage_apply64(base, cf_pad, delta))
+        tol_s = jnp.maximum(self.rtol * jnp.linalg.norm(b_s), self.atol)
+        converged = jnp.logical_or(rn_s <= tol_s, rnorm <= tol2)
         X1 = self._stage_finish(base, delta)
-        return X1.reshape(Xpad.shape), rn, rn <= tol
+        return X1.reshape(Xpad.shape), rnorm, converged
 
     # ---- staged kernels (separately jitted in __init__) ---------------------
 

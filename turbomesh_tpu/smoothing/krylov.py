@@ -86,7 +86,8 @@ def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
     return x, rn
 
 
-def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
+def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts,
+                     w2=None, tol2=None):
     """Flexible restarted GMRES (FGMRES, Saad 1993): stores the
     preconditioned directions Z_k = M_inv(V_k) and forms the update from
     Z, so M_inv may vary between applications — required when the
@@ -94,12 +95,25 @@ def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
     (each f32 application is a slightly different linear operator, which
     breaks the Arnoldi relation of standard right-preconditioned GMRES).
 
+    Optional secondary stop test: when ``w2``/``tol2`` are given, the
+    iteration also stops once ``||w2 * r|| <= tol2`` — used to pair the
+    equilibrated (row-relative) criterion with the reference's plain
+    residual criterion, whichever is met first.
+
     Same fused structure as restarted_gmres (lax loops, one jittable
-    program); costs one extra basis copy of memory.
+    program); costs one extra basis copy of memory. Returns
+    (x, primary_residual_norm).
     """
     bnorm = jnp.sqrt(dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)
     m = restart
+
+    def not_done(r, rn):
+        live = rn > tol
+        if w2 is not None:
+            rn2 = jnp.sqrt(dot(w2 * r, w2 * r))
+            live = jnp.logical_and(live, rn2 > tol2)
+        return live
 
     def fgmres_cycle(x):
         r = b - A(x)
@@ -134,18 +148,20 @@ def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
         return x + jnp.tensordot(y, Z, axes=1)
 
     def cond(state):
-        i, x, rn = state
-        return jnp.logical_and(i < max_restarts, rn > tol)
+        i, x, rn, live = state
+        return jnp.logical_and(i < max_restarts, live)
 
     def body(state):
-        i, x, _ = state
+        i, x, _, _ = state
         x = fgmres_cycle(x)
         r = b - A(x)
-        return (i + 1, x, jnp.sqrt(dot(r, r)))
+        rn = jnp.sqrt(dot(r, r))
+        return (i + 1, x, rn, not_done(r, rn))
 
     x0 = jnp.zeros_like(b)
-    _, x, rn = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf, b.dtype)))
+    _, x, rn, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf, b.dtype),
+                     jnp.asarray(True)))
     return x, rn
 
 
