@@ -100,6 +100,22 @@ def main(scale_cells: int = 2, iters: int = 3):
     dt_o = time.perf_counter() - t0
     oracle_mnodes = n_nodes * iters / dt_o / 1e6
 
+    # --- BASELINE.md metric: wall-clock from TFI to displacement-norm
+    # residual < 1e-10 (smooth.zig:136 formula) with the device backend
+    target = 1e-10
+    c = mesh.flat_coords()
+    t0 = time.perf_counter()
+    target_iters = 0
+    target_resid = np.inf
+    for target_iters in range(1, 51):
+        c_new = dev.solve(c, cf)
+        d = (c_new - c).reshape(-1, 2)
+        target_resid = float(d[:, 0] @ d[:, 0] + d[:, 1] @ d[:, 1]) ** 2
+        c = c_new
+        if target_resid < target:
+            break
+    seconds_to_target = time.perf_counter() - t0
+
     # --- pure on-chip kernel rate: fused multigrid V-cycle, data resident
     p = dev.plan
     base32 = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
@@ -157,6 +173,9 @@ def main(scale_cells: int = 2, iters: int = 3):
             "tpu_backend_mnodes_per_s": round(device_mnodes, 4),
             "host_direct_mnodes_per_s": round(oracle_mnodes, 4),
             "device_linear_residual": float(device_resid),
+            "seconds_to_residual_1e-10": round(seconds_to_target, 2),
+            "picard_iters_to_1e-10": target_iters,
+            "final_displacement_residual": float(target_resid),
             "compile_s": round(compile_s, 1),
             "onchip_vcycle_mnodes_per_s": round(vcycle_mnodes, 1),
             "pallas_sor_mnode_sweeps_per_s": round(sor_rate, 0),

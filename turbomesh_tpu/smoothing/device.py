@@ -430,7 +430,7 @@ class DeviceSmoother:
         free = p["free_mask"].reshape(-1, 2)
         return jnp.where(free, df, 1.0)
 
-    # -- BiCGStab -------------------------------------------------------------
+    # -- fused solve (f64 FGMRES / f32 glued-MG preconditioner) ---------------
 
     def _solve_impl(self, Xpad, cf_pad):
         """One full linearized solve as a single jittable program:
