@@ -10,6 +10,13 @@ The reference links the CGNS C library; here we emit the standard
 SIDS-to-HDF5 node layout (ADF-compatible node attributes name/label/type
 and ' data' datasets) so standard tools (cgnslib, ParaView) can read the
 file, with no C dependency on the write path.
+
+Beyond the reference (which writes coordinates + P,Q only): ZoneBC_t
+boundary-condition nodes (inlet/outlet/wall -> BCInflow/BCOutflow/BCWall
+with PointRange) and GridConnectivity1to1_t abutting-interface nodes
+(PointRange/PointRangeDonor/Transform, periodic Translation property),
+so the written files carry the full multi-block topology for downstream
+solvers.
 """
 
 from __future__ import annotations
@@ -38,6 +45,54 @@ def _node(parent, name: str, label: str, type_code: str, data=None):
 def _c1(parent, name: str, label: str, text: str):
     data = np.frombuffer(text.encode(), dtype=np.int8)
     return _node(parent, name, label, "C1", data)
+
+
+def _range_points(rng, size):
+    """CGNS 1-based (i, j) begin/end of a side Range (boundary.py Side
+    semantics: I_MIN/I_MAX vary i at j = 0 / nj-1; J_MIN/J_MAX vary j at
+    i = 0 / ni-1)."""
+    from ..boundary import Side
+
+    ni, nj = size
+    s, e = rng.start + 1, rng.end + 1
+    if rng.side is Side.I_MIN:
+        return (s, 1), (e, 1)
+    if rng.side is Side.I_MAX:
+        return (s, nj), (e, nj)
+    if rng.side is Side.J_MIN:
+        return (1, s), (1, e)
+    if rng.side is Side.J_MAX:
+        return (ni, s), (ni, e)
+    raise AssertionError
+
+
+def _range_axes(rng):
+    """(along_axis, normal_axis, outward_sign) of a Range, 1-based axes.
+    I_MIN/I_MAX sides vary i -> along axis 1, normal axis 2."""
+    from ..boundary import Side
+
+    if rng.side in (Side.I_MIN, Side.I_MAX):
+        along, norm = 1, 2
+        out = -1 if rng.side is Side.I_MIN else 1
+    else:
+        along, norm = 2, 1
+        out = -1 if rng.side is Side.J_MIN else 1
+    return along, norm, out
+
+
+def _transform(r0, r1):
+    """GridConnectivity1to1 Transform vector (2-D): index_donor =
+    T (index - begin) + begin_donor. Along-face axes map with the
+    ranges' relative walk direction; normal axes map with a sign flip
+    (stepping out of one zone steps into the other)."""
+    a0, n0, o0 = _range_axes(r0)
+    a1, n1, o1 = _range_axes(r1)
+    d0 = 1 if r0.end >= r0.start else -1
+    d1 = 1 if r1.end >= r1.start else -1
+    t = [0, 0]
+    t[a0 - 1] = (d0 * d1) * a1
+    t[n0 - 1] = (-o0 * o1) * n1
+    return np.array(t, dtype=np.int32)
 
 
 def write_cgns(mesh, filename: str, control_function=None) -> None:
@@ -81,6 +136,50 @@ def write_cgns(mesh, filename: str, control_function=None) -> None:
                 _node(sol, "P", "DataArray_t", "R8", np.ascontiguousarray(cf[:, :, 0].T))
                 _node(sol, "Q", "DataArray_t", "R8", np.ascontiguousarray(cf[:, :, 1].T))
             row_start += ni * nj
+
+            # boundary conditions of this zone (beyond the reference)
+            bcs = [bc for bc in mesh.boundary_conditions
+                   if bc.range.block == mesh.names.index(name)]
+            if bcs:
+                zbc = _node(zone, "ZoneBC", "ZoneBC_t", "MT")
+                kind_map = {"wall": "BCWall", "inlet": "BCInflow",
+                            "outlet": "BCOutflow"}
+                for k, bc in enumerate(bcs):
+                    bcnode = _c1(zbc, f"BC{k + 1}", "BC_t",
+                                 kind_map[bc.kind.value])
+                    b0, b1 = _range_points(bc.range, block.size)
+                    pr = np.array([b0, b1], dtype=np.int32)
+                    _node(bcnode, "PointRange", "IndexRange_t", "I4", pr)
+
+            # 1-to-1 abutting interfaces owned by this zone (range 0)
+            conns = [(ci, c) for ci, c in enumerate(mesh.connections)
+                     if c.ranges[0].block == mesh.names.index(name)]
+            if conns:
+                zgc = _node(zone, "ZoneGridConnectivity",
+                            "ZoneGridConnectivity_t", "MT")
+                for ci, c in conns:
+                    r0, r1 = c.ranges
+                    donor = mesh.names[r1.block]
+                    g = _c1(zgc, f"Connection{ci + 1}",
+                            "GridConnectivity1to1_t", donor)
+                    b0, e0 = _range_points(r0, mesh.blocks[r0.block].size)
+                    b1, e1 = _range_points(r1, mesh.blocks[r1.block].size)
+                    _node(g, "PointRange", "IndexRange_t", "I4",
+                          np.array([b0, e0], dtype=np.int32))
+                    _node(g, "PointRangeDonor", "IndexRange_t", "I4",
+                          np.array([b1, e1], dtype=np.int32))
+                    _node(g, "Transform", '"int[IndexDimension]"', "I4",
+                          _transform(r0, r1))
+                    if c.periodicity is not None:
+                        prop = _node(g, "GridConnectivityProperty",
+                                     "GridConnectivityProperty_t", "MT")
+                        per = _node(prop, "Periodic", "Periodic_t", "MT")
+                        _node(per, "RotationCenter", "DataArray_t", "R4",
+                              np.zeros(2, dtype=np.float32))
+                        _node(per, "RotationAngle", "DataArray_t", "R4",
+                              np.zeros(1, dtype=np.float32))
+                        _node(per, "Translation", "DataArray_t", "R4",
+                              np.asarray(c.periodicity, dtype=np.float32))
 
 
 def read_cgns(filename: str):
