@@ -13,10 +13,11 @@ device). Reductions (GMRES dot products) ride ``psum``.
 
 The linear solve is restarted f64 GMRES preconditioned by the same
 multiplicative V-I composition as the single-chip DeviceSmoother: an f32
-multigrid V-cycle over the local blocks' interiors (communication-free —
-block interiors decouple under zero-Dirichlet correction boundaries),
-an f32 residual update (one halo exchange), and the interface solve
-(local connection-chain tridiagonals + Jacobi junction/sliding rows).
+GLUED multigrid V-cycle (smoothing/glue.py maps split into same-device
+gathers and per-level ppermute exchanges, so connection faces relax
+coupled across devices at every level), an f32 residual update (one halo
+exchange), and the interface solve (local connection-chain tridiagonals
++ Jacobi junction/sliding rows).
 
 This replaces the serial reference's global sparse solve
 (smooth.zig:277-1166); there is no reference counterpart to the
@@ -36,7 +37,7 @@ from jax.sharding import Mesh as JMesh, PartitionSpec as P
 
 from ..smoothing.classify import BoundaryInfo
 from ..smoothing.device import build_plan, _metrics
-from ..smoothing.multigrid import level_ladder, interior_mask_np
+
 
 
 @dataclasses.dataclass
@@ -165,13 +166,19 @@ class ShardedSmoother:
         self.block_sizes = sizes
         self.scatter_idx = plan.scatter_idx  # into (B0*N*M); B padding appended after
 
-        # multigrid ladder masks (dummy blocks -> no interior)
-        sizes_padded = sizes + [(1, 1)] * (B - B0)
-        self.mg_ladder = level_ladder(N, M, sizes_padded)
-        self.mg_masks = [interior_mask_np(B, Nl, Ml, sz)
-                         for Nl, Ml, sz in self.mg_ladder]
+        # glued multigrid ladder: smooth masks (interior + SMOOTHED faces)
+        # padded to B blocks; glue maps split into local / cross-device
+        from ..smoothing.glue import build_glue
+
+        self.glue_levels = build_glue(mesh, info, N, M)
+        self.mg_masks = []
+        for gl in self.glue_levels:
+            m = np.zeros((B, gl.N, gl.M), dtype=bool)
+            m[:B0] = gl.smooth_mask
+            self.mg_masks.append(m)
 
         self._build_shard_plans(mesh, info)
+        self._build_glue_plans()
 
         self.jmesh = JMesh(np.array(devices), ("b",))
         self._solve_jit = jax.jit(self._make_solver())
@@ -328,6 +335,57 @@ class ShardedSmoother:
             sl_valid=sl_valid,
         )
 
+    def _build_glue_plans(self):
+        """Split each multigrid level's glue map (smoothing/glue.py) into
+        same-device entries (local gather in ghost space) and cross-device
+        entries (ppermute exchange of the referenced region values)."""
+        D, Bl = self.D, self.Bl
+        self.glue_local = []   # per level: (arrays, valid)
+        self.glue_cross = []   # per level: (arrays, valid)
+        self.glue_ex = []      # per level: Exchange
+
+        for gl in self.glue_levels:
+            Ng, Mg = gl.N + 2, gl.M + 2
+            NgMg = Ng * Mg
+            src_b = gl.src // NgMg
+            dst_b = gl.dst // NgMg
+            same = (src_b // Bl) == (dst_b // Bl)
+
+            def ghost_local(g):
+                return (g // NgMg % Bl) * NgMg + g % NgMg
+
+            (larr, lvalid) = self._split_pad_stack(
+                dst_b[same],
+                [ghost_local(gl.src[same]), ghost_local(gl.dst[same]),
+                 gl.off[same]],
+                D, [0, 0, 0.0])
+
+            # cross-device: sources are in-region points of remote blocks;
+            # ship them as region-flat values via a per-level exchange
+            cross = ~same
+            bx = _ExchangeBuilder(D, Bl, gl.N, gl.M)
+            if np.any(cross):
+                gsrc = gl.src[cross]
+                b = gsrc // NgMg
+                rem = gsrc % NgMg
+                i = rem // Mg - 1
+                j = rem % Mg - 1
+                region_global = (b * gl.N + i) * gl.M + j
+                prov = bx.positions(dst_b[cross] // Bl, region_global)
+                ex = bx.finalize()
+                pos = bx.resolve(ex, prov)
+            else:
+                ex = bx.finalize()
+                pos = np.empty(0, np.int64)
+            (xarr, xvalid) = self._split_pad_stack(
+                dst_b[cross],
+                [ghost_local(gl.dst[cross]), pos, gl.off[cross]],
+                D, [0, 0, 0.0])
+
+            self.glue_local.append((larr, lvalid))
+            self.glue_cross.append((xarr, xvalid))
+            self.glue_ex.append(ex)
+
     # ---------------------------------------------------------------- kernels
 
     def _make_solver(self):
@@ -461,10 +519,45 @@ class ShardedSmoother:
             free = free_mask.reshape(-1, 2)
             return jnp.where(free & (df != 0.0), df, 1.0)
 
+        glue_ex = self.glue_ex
+
+        def make_glue_fn(lvl, q):
+            """Per-level glue closure: local ghost/slave gathers + one
+            ppermute exchange for cross-device entries."""
+            ex = glue_ex[lvl]
+            exch = make_exchange(ex, {o: q[f"sendGL{lvl}_{o}"]
+                                      for o in ex.offsets})
+            lsrc, ldst, loff = (q[f"glL{lvl}_src"], q[f"glL{lvl}_dst"],
+                                q[f"glL{lvl}_off"])
+            lval = q[f"glL{lvl}_valid"]
+            xdst, xpos, xoff = (q[f"glX{lvl}_dst"], q[f"glX{lvl}_pos"],
+                                q[f"glX{lvl}_off"])
+            xval = q[f"glX{lvl}_valid"]
+
+            def glue(v, coord_field=False):
+                dt = v.dtype
+                vg = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                shape = vg.shape
+                vf = vg.reshape(-1, v.shape[-1])
+                val = vf[lsrc]
+                if coord_field:
+                    val = val + loff.astype(dt)
+                vf = vf.at[ldst].add(
+                    jnp.where(lval[:, None], val - vf[ldst], 0.0))
+                VAL = exch(v.reshape(-1, v.shape[-1]))
+                val2 = VAL[xpos]
+                if coord_field:
+                    val2 = val2 + xoff.astype(dt)
+                vf = vf.at[xdst].add(
+                    jnp.where(xval[:, None], val2 - vf[xdst], 0.0))
+                return vf.reshape(shape)
+
+            return glue
+
         def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks):
             """One linearized solve on the sharded state."""
             from ..smoothing.krylov import restarted_gmres, thomas
-            from ..smoothing.multigrid import build_levels, v_cycle
+            from ..smoothing.multigrid import build_glued_levels, v_cycle_glued
 
             exchange_S = make_exchange(ex_S, {o: q[f"sendS{o}"]
                                               for o in ex_S.offsets})
@@ -478,13 +571,18 @@ class ShardedSmoother:
             diag_field = diag(q, baseXl, baseV, interior_mask, free_mask
                               ).reshape(baseXl.shape)
 
-            # f32 preconditioner context: MG levels over local block
-            # interiors + connection-chain tridiagonal factors
+            # f32 preconditioner context: GLUED MG levels (local blocks
+            # gather locally, cross-device interfaces exchange via
+            # ppermute at every level) + connection-chain factors
             baseX32 = baseXl.astype(jnp.float32)
             baseV32 = baseV.astype(jnp.float32)
             cf32 = cfl.astype(jnp.float32)
             diag32 = diag_field.astype(jnp.float32)
-            levels = build_levels(baseX32, cf32, masks=mg_masks)
+            glue_fns = [make_glue_fn(lvl, q)
+                        for lvl in range(len(glue_ex))]
+            levels = build_glued_levels(baseX32, cf32, self.glue_levels,
+                                        glue_fns=glue_fns,
+                                        masks=list(mg_masks))
 
             baseF32 = baseX32.reshape(-1, 2)
             cg11, _, cg22 = _metrics(
@@ -526,12 +624,14 @@ class ShardedSmoother:
 
             def M_inv(V):
                 """f32 multiplicative V-I composition (DeviceSmoother
-                _stage_Minv); one f32 halo exchange for the residual
-                update."""
+                _stage_Minv): glued V-cycle over interior + SMOOTHED
+                face rows, residual update (one halo exchange),
+                interface chain/Jacobi solve."""
                 v32 = V.astype(jnp.float32)
-                z = v_cycle(levels, jnp.where(interior_mask[..., None],
-                                              v32, 0.0))
-                z = jnp.where(interior_mask[..., None] & free_mask, z, 0.0)
+                smooth0 = levels[0].interior[..., None]
+                z = v_cycle_glued(levels, jnp.where(smooth0, v32, 0.0),
+                                  glue_fns=glue_fns)
+                z = jnp.where(smooth0 & free_mask, z, 0.0)
                 rr = v32 - A_any(z)
                 z = z + interface32(rr)
                 return z.astype(V.dtype)
@@ -566,6 +666,18 @@ class ShardedSmoother:
             plan_leaves[f"sendS{o}"] = self.ex_S.send_idx[o]
         for o in self.ex_F.offsets:
             plan_leaves[f"sendF{o}"] = self.ex_F.send_idx[o]
+        for lvl, (ex, (larr, lvalid), (xarr, xvalid)) in enumerate(
+                zip(self.glue_ex, self.glue_local, self.glue_cross)):
+            for o in ex.offsets:
+                plan_leaves[f"sendGL{lvl}_{o}"] = ex.send_idx[o]
+            plan_leaves[f"glL{lvl}_src"] = larr[0]
+            plan_leaves[f"glL{lvl}_dst"] = larr[1]
+            plan_leaves[f"glL{lvl}_off"] = larr[2]
+            plan_leaves[f"glL{lvl}_valid"] = lvalid
+            plan_leaves[f"glX{lvl}_dst"] = xarr[0]
+            plan_leaves[f"glX{lvl}_pos"] = xarr[1]
+            plan_leaves[f"glX{lvl}_off"] = xarr[2]
+            plan_leaves[f"glX{lvl}_valid"] = xvalid
         spec_state = P("b")
         mg_specs = tuple(P("b") for _ in self.mg_masks)
 

@@ -322,22 +322,33 @@ def make_fused_vcycle(levels, pre=1, post=1, coarse_iters=4):
 # ---------------------------------------------------------------------------
 
 
-def build_glued_levels(base, cf, glue_levels):
+def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
     """Build the glued hierarchy. base/cf: (B, N, M, 2) padded stacks
     (finest); glue_levels: list[glue.GlueLevel] (host-static). Level
     fields are ghost-augmented where needed; stencil coefficients use the
-    GLUED base so face-row equations couple across blocks."""
+    GLUED base so face-row equations couple across blocks.
+
+    glue_fns: optional per-level callables ``fn(v, coord_field) ->
+    ghost-augmented array`` replacing the local gather glue — used by the
+    sharded path where some glue entries cross devices (ppermute).
+    masks: optional per-level smooth masks overriding gl.smooth_mask
+    (per-device slices inside shard_map)."""
     levels = []
     for lvl, gl in enumerate(glue_levels):
         if lvl > 0:
             base = base[:, ::2, ::2, :]
             cf = cf[:, ::2, ::2, :]
-        mask = jnp.asarray(gl.smooth_mask)
-        src = jnp.asarray(gl.src.astype(np.int32))
-        dst = jnp.asarray(gl.dst.astype(np.int32))
-        off = jnp.asarray(gl.off, dtype=base.dtype)
+        mask = jnp.asarray(gl.smooth_mask) if masks is None else masks[lvl]
+        if glue_fns is None:
+            src = jnp.asarray(gl.src.astype(np.int32))
+            dst = jnp.asarray(gl.dst.astype(np.int32))
+            off = jnp.asarray(gl.off, dtype=base.dtype)
+        else:
+            src = dst = jnp.zeros((0,), jnp.int32)
+            off = jnp.zeros((0, 2), base.dtype)
 
-        baseg = _glue_pad(base, src, dst, off, coord_field=True)
+        glue_fn = None if glue_fns is None else glue_fns[lvl]
+        baseg = _glue_apply(base, src, dst, off, True, glue_fn)
         # glued metrics over the whole block region (faces included)
         x_xi = 0.5 * (baseg[:, 2:, 1:-1] - baseg[:, :-2, 1:-1])
         x_eta = 0.5 * (baseg[:, 1:-1, 2:] - baseg[:, 1:-1, :-2])
@@ -361,6 +372,12 @@ def build_glued_levels(base, cf, glue_levels):
     return levels
 
 
+def _glue_apply(v, src, dst, off, coord_field, glue_fn):
+    if glue_fn is not None:
+        return glue_fn(v, coord_field)
+    return _glue_pad(v, src, dst, off, coord_field)
+
+
 def _glue_pad(v, src, dst, off, coord_field=False):
     """Pad (B, N, M, C) with one ghost ring and apply the glue map."""
     vg = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -372,11 +389,11 @@ def _glue_pad(v, src, dst, off, coord_field=False):
     return vf.at[dst].set(vals).reshape(shape)
 
 
-def _apply_glued(level: MGLevel, v):
+def _apply_glued(level: MGLevel, v, glue_fn=None):
     """Winslow stencil over the glued field; rows = smooth mask
     (interior + SMOOTHED connection faces)."""
     baseg = level.baseg
-    vg = _glue_pad(v, level.gsrc, level.gdst, None)
+    vg = _glue_apply(v, level.gsrc, level.gdst, None, False, glue_fn)
     x_xi = 0.5 * (baseg[:, 2:, 1:-1] - baseg[:, :-2, 1:-1])
     x_eta = 0.5 * (baseg[:, 1:-1, 2:] - baseg[:, 1:-1, :-2])
     g11 = jnp.sum(x_xi * x_xi, axis=-1)[..., None]
@@ -417,7 +434,7 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
     return zebra_supported(B, N + 2, M + 2)
 
 
-def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij"):
+def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij", glue_fn=None):
     """Pallas-fused zebra pass: one kernel launch per (direction, color)
     half-sweep instead of ~50 XLA ops (ops/zebra.py)."""
     from ..ops.zebra import zebra_pass
@@ -447,7 +464,7 @@ def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij"):
         passes += [(lj, 1, odd_i, 0.0), (lj, 1, odd_i, 1.0)]
 
     for (dl, d, du), axis, odd, par in passes:
-        zg = _glue_pad(z, level.gsrc, level.gdst, None)
+        zg = _glue_apply(z, level.gsrc, level.gdst, None, False, glue_fn)
         sel = mask * jnp.where(odd == par, 1.0, 0.0)
         zx, zy = zebra_pass(bx, by, cfp, cfq, dl, d, du, mask, sel,
                             rx, ry, zg[..., 0], zg[..., 1], axis=axis,
@@ -459,7 +476,7 @@ def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij"):
     return z
 
 
-def _smooth_glued(level: MGLevel, r, z, directions="ij"):
+def _smooth_glued(level: MGLevel, r, z, directions="ij", glue_fn=None):
     """Zebra line relaxation over the glued mesh (same scheme as _smooth,
     with glued residuals so face rows relax coupled). ``directions``
     selects which line sweeps run: "ij" = alternating (4 residual applies
@@ -467,7 +484,7 @@ def _smooth_glued(level: MGLevel, r, z, directions="ij"):
     pair a "j" pre-smoother with an "i" post-smoother for an alternating
     cycle at half the per-smooth price)."""
     if _use_zebra_pallas(level):
-        return _smooth_glued_pallas(level, r, z, directions)
+        return _smooth_glued_pallas(level, r, z, directions, glue_fn)
     mask = level.interior[..., None]
 
     def line_j(rr):
@@ -488,21 +505,21 @@ def _smooth_glued(level: MGLevel, r, z, directions="ij"):
     if "i" in directions:
         for par in (0.0, 1.0):
             sel = jnp.where(odd_j == par, 1.0, 0.0)
-            res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+            res = jnp.where(mask, r - _apply_glued(level, z, glue_fn), 0.0)
             z = z + sel * line_i(res)
     if "j" in directions:
         for par in (0.0, 1.0):
             sel = jnp.where(odd_i == par, 1.0, 0.0)
-            res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+            res = jnp.where(mask, r - _apply_glued(level, z, glue_fn), 0.0)
             z = z + sel * line_j(res)
     return z
 
 
-def _restrict_glued(level: MGLevel, r, coarse_shape):
+def _restrict_glued(level: MGLevel, r, coarse_shape, glue_fn=None):
     """Full-weighting restriction using glued residual ghosts, so the
     stencil at a face point weights the partner block's residuals."""
     B, Nc, Mc = coarse_shape
-    rp = _glue_pad(r, level.gsrc, level.gdst, None)
+    rp = _glue_apply(r, level.gsrc, level.gdst, None, False, glue_fn)
 
     def at(di, dj):
         return rp[:, 1 + di : 1 + di + 2 * Nc - 1 : 2,
@@ -515,28 +532,29 @@ def _restrict_glued(level: MGLevel, r, coarse_shape):
 
 
 def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4,
-                  pre_dirs="ij", post_dirs="ij"):
+                  pre_dirs="ij", post_dirs="ij", glue_fns=None):
     """Glued multigrid V-cycle (static recursion, one jittable program)."""
     level = levels[level_idx]
+    gfn = None if glue_fns is None else glue_fns[level_idx]
     mask = level.interior[..., None]
     r = jnp.where(mask, r, 0.0)
     z = jnp.zeros_like(r)
 
     if level_idx == len(levels) - 1:
         for _ in range(coarse_iters):
-            z = _smooth_glued(level, r, z)
+            z = _smooth_glued(level, r, z, glue_fn=gfn)
         return z
 
     for _ in range(pre):
-        z = _smooth_glued(level, r, z, pre_dirs)
+        z = _smooth_glued(level, r, z, pre_dirs, glue_fn=gfn)
 
-    res = jnp.where(mask, r - _apply_glued(level, z), 0.0)
+    res = jnp.where(mask, r - _apply_glued(level, z, gfn), 0.0)
     coarse = levels[level_idx + 1]
-    rc = 16.0 * _restrict_glued(level, res, coarse.interior.shape)
+    rc = 16.0 * _restrict_glued(level, res, coarse.interior.shape, gfn)
     zc = v_cycle_glued(levels, rc, level_idx + 1, pre, post, coarse_iters,
-                       pre_dirs, post_dirs)
+                       pre_dirs, post_dirs, glue_fns)
     z = z + jnp.where(mask, _prolong(zc, level.interior.shape), 0.0)
 
     for _ in range(post):
-        z = _smooth_glued(level, r, z, post_dirs)
+        z = _smooth_glued(level, r, z, post_dirs, glue_fn=gfn)
     return z
