@@ -60,7 +60,8 @@ def main(scale_cells: int = 2, iters: int = 3):
     from turbomesh_tpu.smoothing.device import DeviceSmoother
     from turbomesh_tpu.smoothing.system import SparseSystem
     from turbomesh_tpu.smoothing.control_function import Laplace
-    from turbomesh_tpu.smoothing.multigrid import build_levels, make_fused_vcycle
+    from turbomesh_tpu.smoothing.multigrid import (build_glued_levels,
+                                                   v_cycle_glued)
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
@@ -121,10 +122,10 @@ def main(scale_cells: int = 2, iters: int = 3):
     base32 = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
     base32[p.scatter_idx] = mesh.flat_coords()
     cf32 = np.zeros_like(base32)
-    levels = build_levels(jnp.asarray(base32.reshape(p.B, p.N, p.M, 2)),
-                          jnp.asarray(cf32.reshape(p.B, p.N, p.M, 2)),
-                          [b.size for b in mesh.blocks])
-    vc = make_fused_vcycle(levels)
+    levels = build_glued_levels(jnp.asarray(base32.reshape(p.B, p.N, p.M, 2)),
+                                jnp.asarray(cf32.reshape(p.B, p.N, p.M, 2)),
+                                dev._glue)
+    vc = jax.jit(lambda rr: v_cycle_glued(levels, rr))
     r = jnp.asarray(np.random.default_rng(0)
                     .standard_normal((p.B, p.N, p.M, 2)).astype(np.float32))
     r = vc(r)  # compile + stay on device

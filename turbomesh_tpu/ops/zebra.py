@@ -128,6 +128,33 @@ def _zebra_kernel(bx_ref, by_ref, cfp_ref, cfq_ref, dl_ref, d_ref, du_ref,
 # rough VMEM budget: 14 planes resident per grid step must fit comfortably
 _VMEM_PLANE_BUDGET = 12 * 2 ** 20
 
+_PROBE_OK: bool | None = None
+
+
+def pallas_service_ok() -> bool:
+    """One-time probe: can this runtime compile a Pallas kernel at all?
+
+    The tunneled remote compile service intermittently rejects Pallas
+    programs wholesale (Mosaic HTTP-500s even for trivial kernels);
+    gating on a cheap probe keeps large fused programs from failing to
+    compile because of the embedded smoother kernel."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        try:
+            def k(i_ref, o_ref):
+                o_ref[:] = i_ref[:] + 1.0
+
+            x = jnp.zeros((8, 128), jnp.float32)
+            out = pl.pallas_call(
+                k, out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(x)
+            jax.block_until_ready(out)
+            _PROBE_OK = True
+        except Exception:  # noqa: BLE001 — any compile failure disables
+            _PROBE_OK = False
+    return _PROBE_OK
+
 
 def zebra_supported(B, Ng, Mg, dtype_bytes=4) -> bool:
     return 14 * Ng * Mg * dtype_bytes <= _VMEM_PLANE_BUDGET

@@ -422,7 +422,7 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
     kernel's VMEM budget. TURBOMESH_PALLAS=0 opts out."""
     import os
 
-    from ..ops.zebra import zebra_supported
+    from ..ops.zebra import pallas_service_ok, zebra_supported
 
     if os.environ.get("TURBOMESH_PALLAS", "1") != "1":
         return False
@@ -431,7 +431,7 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
     if "baseg" not in level or level.baseg.dtype != jnp.float32:
         return False
     B, N, M = level.interior.shape
-    return zebra_supported(B, N + 2, M + 2)
+    return zebra_supported(B, N + 2, M + 2) and pallas_service_ok()
 
 
 def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij", glue_fn=None):
