@@ -31,12 +31,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pcr2(a, b, c, r1, r2, axis, n):
-    """Parallel cyclic reduction along ``axis`` for two rhs planes.
+def _pcr1(a, b, c, r1, axis, n):
+    """Parallel cyclic reduction along ``axis`` for ONE rhs plane.
 
     a/b/c: sub/main/super diagonals, identity rows (a=c=0, b=1) decouple
-    chains; r1/r2: rhs planes. Same recurrence as krylov.tridiag_pcr,
+    chains; r1: rhs plane. Same recurrence as krylov.tridiag_pcr,
     inlined for 2-D planes so it lowers inside the kernel.
+
+    Kept single-rhs deliberately: carrying two rhs planes through one
+    recurrence (the obvious flop saving) reliably crashes the Mosaic
+    TPU compiler on the current runtime ("failed to legalize
+    'func.return'", minimal reproducer in the repo history), while this
+    single-rhs version compiles — _pcr2 below just runs it twice.
     """
     steps = max(1, int(math.ceil(math.log2(max(n, 2)))))
     idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
@@ -52,24 +58,26 @@ def _pcr2(a, b, c, r1, r2, axis, n):
         b_m = shift(b, s, 1.0)
         c_m = shift(c, s, 0.0)
         r1_m = shift(r1, s, 0.0)
-        r2_m = shift(r2, s, 0.0)
         a_p = shift(a, -s, 0.0)
         b_p = shift(b, -s, 1.0)
         c_p = shift(c, -s, 0.0)
         r1_p = shift(r1, -s, 0.0)
-        r2_p = shift(r2, -s, 0.0)
 
         alpha = -a / jnp.where(b_m == 0, 1.0, b_m)
         beta = -c / jnp.where(b_p == 0, 1.0, b_p)
-        a = alpha * a_m
-        c = beta * c_p
+        a2 = alpha * a_m
+        c2 = beta * c_p
         b = b + alpha * c_m + beta * a_p
+        a, c = a2, c2
         r1 = r1 + alpha * r1_m + beta * r1_p
-        r2 = r2 + alpha * r2_m + beta * r2_p
         s *= 2
 
-    bs = jnp.where(b == 0, 1.0, b)
-    return r1 / bs, r2 / bs
+    return r1 / jnp.where(b == 0, 1.0, b)
+
+
+def _pcr2(a, b, c, r1, r2, axis, n):
+    """Two tridiagonal solves with shared diagonals (see _pcr1 note)."""
+    return _pcr1(a, b, c, r1, axis, n), _pcr1(a, b, c, r2, axis, n)
 
 
 def _zebra_math(bx, by, cfp, cfq, dl, d, du, msk, sel, rx, ry, zx, zy,

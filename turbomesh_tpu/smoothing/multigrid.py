@@ -424,7 +424,14 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
 
     from ..ops.zebra import pallas_service_ok, zebra_supported
 
-    if os.environ.get("TURBOMESH_PALLAS", "1") != "1":
+    # default OFF: the current tunneled runtime's Mosaic compiler crashes
+    # on any kernel chaining computed values into a PCR recurrence (and
+    # even on two single-rhs PCR solves in one kernel) — minimal
+    # reproducers in ops/zebra.py's history; the crash also wedges the
+    # remote compile service for minutes. The kernel itself is validated
+    # through the Pallas interpreter (tests/test_zebra.py); enable with
+    # TURBOMESH_PALLAS=1 on runtimes with a healthy Mosaic.
+    if os.environ.get("TURBOMESH_PALLAS", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False
