@@ -10,12 +10,14 @@ TPU-idiomatic formulation (SURVEY.md §7.1):
   inter-block connection rows, junction rows, sliding rows and slave
   (equality) substitutions are tiny gather/scatters over precomputed
   index plans — the same equations the host oracle assembles sparsely;
-- the linear solve is restarted GMRES with a multigrid-V-cycle +
-  line-implicit + connection-chain preconditioner: fully fused in JAX
-  (lax.while_loop) where the runtime compiles it, host-orchestrated over
-  separately-jitted device kernels on the tunneled single-chip runtime
-  (see .solve()); inner iterations run equilibrated f32 with f64
-  residual refinement.
+- the linear solve is ONE fused device program (.solve/_solve_impl):
+  exact-f64 FGMRES over the equilibrated system — flexible, so the f32
+  preconditioner may vary between applications — preconditioned by a
+  glued multigrid V-cycle (zebra line relaxation with inter-block ghost
+  halos + slave sync at every level, multigrid.py + glue.py) composed
+  multiplicatively with the interface chain/junction/sliding solve;
+  dual stop test (row-relative + the reference's plain criterion,
+  GMRES.zig:21-24). Staged and host-Krylov fallbacks remain env-gated.
 
 Slave (``CONNECTED``) points are eliminated by substitution
 (x_slave = x_master + offset), so the reduced system's solution equals the
