@@ -556,7 +556,7 @@ class ShardedSmoother:
 
         def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks):
             """One linearized solve on the sharded state."""
-            from ..smoothing.krylov import restarted_gmres, thomas
+            from ..smoothing.krylov import restarted_fgmres, thomas
             from ..smoothing.multigrid import build_glued_levels, v_cycle_glued
 
             exchange_S = make_exchange(ex_S, {o: q[f"sendS{o}"]
@@ -639,7 +639,9 @@ class ShardedSmoother:
             b = -apply_equations(q, baseXl, baseV, cfl, baseXl, baseV, True,
                                  interior_mask, free_mask)
 
-            # row equilibration (see DeviceSmoother._stage_inner)
+            # row equilibration + dual stop test, matching
+            # DeviceSmoother._solve_impl; FGMRES because the f32
+            # preconditioner varies between applications
             inv_row = 1.0 / diag_field
 
             def A_s(V):
@@ -648,10 +650,12 @@ class ShardedSmoother:
             def M_inv_s(V):
                 return M_inv(diag_field * V)
 
-            delta, rn = restarted_gmres(
+            tol2 = jnp.maximum(rtol * jnp.sqrt(pdot(b, b)), atol)
+            delta, rn = restarted_fgmres(
                 A_s, inv_row * b, M_inv_s, dot=pdot,
                 rtol=rtol, atol=atol, restart=restart,
                 max_restarts=max_restarts,
+                w2=diag_field, tol2=tol2,
             )
 
             X1 = baseXl + jnp.where(free_mask, delta, 0.0)

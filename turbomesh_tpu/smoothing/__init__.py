@@ -11,9 +11,10 @@ Interchangeable solver paths produce the same smoothed mesh:
   host GMRES/BiCGStab Krylov backends + diagonal/ilu0 preconditioning
   (the reference's gmres/bicgstab options).
 - ``device`` — the TPU path: matrix-free stencil operators on the padded
-  block stack, GMRES + multigrid/line-implicit preconditioning, mixed
-  f32/f64 precision; ``parallel.ShardedSmoother`` adds shard_map
-  multi-chip parallelism.
+  block stack, one fused f64-FGMRES program per solve preconditioned by
+  an f32 glued multigrid V-cycle (zebra line relaxation, inter-block
+  ghost halos at every level); ``parallel.ShardedSmoother`` adds
+  shard_map multi-chip parallelism with ppermute halo exchange.
 """
 
 from .smooth import smooth_mesh, SmoothOptions
