@@ -113,7 +113,7 @@ def main(scale_cells: int = 2, iters: int = 3):
         d = (c_new - c).reshape(-1, 2)
         target_resid = float(d[:, 0] @ d[:, 0] + d[:, 1] @ d[:, 1]) ** 2
         c = c_new
-        if target_resid < target:
+        if target_resid < target or time.perf_counter() - t0 > 1200:
             break
     seconds_to_target = time.perf_counter() - t0
 
