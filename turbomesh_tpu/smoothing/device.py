@@ -712,22 +712,36 @@ class DeviceSmoother:
 
         X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
         C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+
+        def _compile_failure(e) -> bool:
+            return "Mosaic" in str(e) or "remote_compile" in str(e)
+
+        import logging
+
+        log = logging.getLogger("turbomesh.device")
         try:
             X1, rn, ok = self._solve_jit(X, C)
         except Exception as e:  # noqa: BLE001 — compile-service fallback
-            # the remote TPU compile service intermittently rejects
-            # Pallas kernels (Mosaic 500s); fall back to the pure-XLA
-            # smoother rather than failing the solve
-            if not ("Mosaic" in str(e) or "remote_compile" in str(e)):
+            if not _compile_failure(e):
                 raise
-            import logging
-
-            logging.getLogger("turbomesh.device").warning(
-                "Pallas smoother failed to compile (%s); retrying with "
-                "the XLA zebra smoother", str(e).splitlines()[0][:120])
+            # two failure classes share the symptom (HTTP 500 from the
+            # remote compiler): a rejected Pallas kernel, and a too-large
+            # fused program. Retry without the kernel, then degrade to
+            # the staged architecture (smaller separate programs).
+            log.warning(
+                "fused solve failed to compile (%s); retrying without "
+                "the Pallas smoother", str(e).splitlines()[0][:120])
             os.environ["TURBOMESH_PALLAS"] = "0"
             self._solve_jit = jax.jit(self._solve_impl)
-            X1, rn, ok = self._solve_jit(X, C)
+            try:
+                X1, rn, ok = self._solve_jit(X, C)
+            except Exception as e2:  # noqa: BLE001
+                if not _compile_failure(e2):
+                    raise
+                log.warning(
+                    "fused solve still failed to compile; degrading to "
+                    "the staged per-program architecture")
+                return self._solve_staged(coords, cf)
         rn = float(rn)
         if not bool(ok):
             _warn_nonconverged("device fgmres",
@@ -762,7 +776,19 @@ class DeviceSmoother:
         rn = bnorm
         k = 0
         while rn > tol and k < self.max_refine:
-            d = self._inner_solve(ctx, C, r)
+            try:
+                d = self._inner_solve(ctx, C, r)
+            except Exception as e:  # noqa: BLE001 — compile fallback
+                if not ("Mosaic" in str(e) or "remote_compile" in str(e)) \
+                        or os.environ.get("TURBOMESH_FUSED_INNER") == "0":
+                    raise
+                import logging
+
+                logging.getLogger("turbomesh.device").warning(
+                    "fused inner solver failed to compile; degrading to "
+                    "host-orchestrated per-piece programs")
+                os.environ["TURBOMESH_FUSED_INNER"] = "0"
+                d = self._inner_solve(ctx, C, r)
             x = x + jnp.where(free64, d, 0.0)
             r = b - self._jit_apply64(baseF, C, x)
             rn = float(jnp.linalg.norm(r))  # scalar d2h per pass
