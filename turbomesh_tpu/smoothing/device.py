@@ -27,6 +27,7 @@ oracle's full-system solution to solver tolerance.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 
 import jax
