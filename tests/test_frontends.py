@@ -67,9 +67,44 @@ def test_web_service_roundtrip():
         assert json.loads(_get(f"{base}/blocks"))["count"] == 0
         try:
             _get(f"{base}/block/0/size")
-            raise AssertionError("expected 500 on freed mesh")
+            raise AssertionError("expected 404 on freed mesh")
         except urllib.error.HTTPError as e:
-            assert e.code == 500
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
+
+
+def test_web_service_run_with_smoothing():
+    """POST /run with smoothing.iterations > 0 (the bundled example
+    configs' shape) must run the smoother, not 500 — regression for the
+    smooth_mesh(mesh, SmoothingConfig) TypeError."""
+    from turbomesh_tpu.web import serve
+
+    cfg = dict(TINY_CFG)
+    cfg["smoothing"] = {"iterations": 2,
+                        "solver": {"gmres": {"preconditioner": "ilu0"}},
+                        "wall_control_function": {
+                            "white": {"ds_target": 1e-4}}}
+    httpd = serve(port=0, base_dir="/root/repo")
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    try:
+        req = urllib.request.Request(
+            f"{base}/run", data=json.dumps(cfg).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        out = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert out["blocks"] == 8
+        assert any("residual" in line for line in out["log"]), out["log"][:5]
+
+        # smoothing actually moved points vs the unsmoothed TFI mesh
+        from turbomesh_tpu import input as input_mod
+
+        inp = input_mod.load(TINY_CFG, base_dir="/root/repo")
+        tfi_mesh = inp.template.run(inp.geometry)
+        raw = _get(f"{base}/block/0/points")
+        ni, nj = tfi_mesh.blocks[0].size
+        vals = np.frombuffer(raw, dtype="<f8").reshape(ni, nj, 2)
+        assert np.abs(vals - tfi_mesh.blocks[0].points).max() > 0
     finally:
         httpd.shutdown()
 

@@ -101,3 +101,17 @@ def test_nonconvergence_warns(caplog):
         numpy_bicgstab(lambda v: A @ v, ident, b, rtol=1e-14, atol=0.0,
                        max_iters=2)
     assert any("did not converge" in r.message for r in caplog.records)
+
+
+def test_mumps_prototype_smoke():
+    """The reference's dormant MUMPS prototype (mumps.zig:37-97): solve
+    diag(1,2) x = [1,4] from 1-based COO triplets, solution written into
+    rhs in place — same call shape, direct sparse backend."""
+    import numpy as np
+
+    from turbomesh_tpu.smoothing.system import mumps_prototype_solve
+
+    rhs = np.array([1.0, 4.0])
+    out = mumps_prototype_solve(2, [1, 2], [1, 2], [1.0, 2.0], rhs)
+    np.testing.assert_allclose(out, [1.0, 2.0], atol=1e-15)
+    np.testing.assert_allclose(rhs, [1.0, 2.0], atol=1e-15)  # in place

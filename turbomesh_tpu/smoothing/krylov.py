@@ -525,5 +525,5 @@ def numpy_bicgstab(A, M_inv, b, rtol, atol, max_iters, x0=None):
             break
         rho_old = rho_new
     if rn > tol:
-        _warn_nonconverged("bicgstab", it, rn / bnorm if bnorm else rn, tol)
+        _warn_nonconverged("bicgstab", it, rn, tol)  # absolute, like tol
     return x, rn

@@ -137,8 +137,9 @@ class SparseSystem:
       "bicgstab"  preconditioned BiCGStab (BiCGStab.zig:19-21)
 
     preconditioner (Krylov methods): "diagonal" or "ilu0"
-    (preconditioner.zig:1-4; ilu0 realized as scipy spilu with zero drop
-    tolerance and unit fill factor — same role, not bit-identical factors).
+    (preconditioner.zig:1-4; ilu0 is the in-repo marker-array ILU(0)
+    factorization on the existing CSR pattern — ilu0() in this module,
+    same algorithm as BiCGStab.zig:178-277).
     """
 
     def __init__(self, mesh, info: BoundaryInfo, method: str = "direct",
@@ -333,3 +334,21 @@ class SparseSystem:
         new[:, 1] = self._solve_csr(Ay, by, coords[:, 1])
 
         return new
+
+
+def mumps_prototype_solve(n: int, irn, jcn, a, rhs):
+    """Counterpart of the reference's dormant MUMPS prototype
+    (mumps.zig:37-97): an unsymmetric sparse direct solve given 1-based
+    COO triplets, overwriting ``rhs`` with the solution in place, exactly
+    as dmumps_c(job=6) does. The reference never wires MUMPS into
+    solver.zig — it exists only as a test-only 2x2 smoke (diag(1,2) x =
+    [1,4]); this records the capability with the same call shape on the
+    direct sparse backend that stands in for all MPI direct solvers here.
+    """
+    irn = np.asarray(irn, dtype=np.int64) - 1
+    jcn = np.asarray(jcn, dtype=np.int64) - 1
+    A = sp.csr_matrix((np.asarray(a, dtype=np.float64), (irn, jcn)),
+                      shape=(n, n))
+    rhs = np.asarray(rhs, dtype=np.float64)
+    rhs[:] = spla.spsolve(A.tocsc(), rhs.copy())
+    return rhs

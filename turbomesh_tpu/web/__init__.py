@@ -52,13 +52,23 @@ class MeshService:
         handler.emit = lambda rec: log_lines.append(handler.format(rec))
         root = logging.getLogger("turbomesh")
         root.addHandler(handler)
+        prev_level = root.level
+        # wasm logFn parity (wasm/lib.zig:6-30): the browser client sees
+        # the pipeline's info-level log lines (residuals etc.)
+        root.setLevel(logging.INFO)
         try:
             inp = input_mod.load(config, base_dir=base_dir or ".")
             mesh = inp.template.run(inp.geometry)
             if inp.smoothing.iterations:
-                smooth_mesh(mesh, inp.smoothing)
+                smooth_mesh(
+                    mesh,
+                    iterations=inp.smoothing.iterations,
+                    solver=inp.smoothing.solver,
+                    wall_control_function=inp.smoothing.wall_control_function,
+                )
         finally:
             root.removeHandler(handler)
+            root.setLevel(prev_level)
         with self._lock:
             self._mesh = mesh
         return {"blocks": len(mesh.blocks), "points": mesh.num_points,
@@ -68,12 +78,22 @@ class MeshService:
         with self._lock:
             self._mesh = None
 
+    def _snapshot(self):
+        """Mesh reference under the lock — a /free racing a concurrent GET
+        must yield a clean LookupError, not an AttributeError mid-read."""
+        with self._lock:
+            m = self._mesh
+        if m is None:
+            raise LookupError("no mesh loaded (POST /run first)")
+        return m
+
     def blocks_count(self) -> int:
-        m = self._mesh
+        with self._lock:
+            m = self._mesh
         return 0 if m is None else len(m.blocks)
 
     def block_size(self, idx: int) -> tuple[int, int]:
-        ni, nj = self._mesh.blocks[idx].size
+        ni, nj = self._snapshot().blocks[idx].size
         return int(ni), int(nj)
 
     def block_points_bytes(self, idx: int) -> bytes:
@@ -81,7 +101,7 @@ class MeshService:
         j-fastest point order (wasm/lib.zig:117-124 layout)."""
         import numpy as np
 
-        pts = np.ascontiguousarray(self._mesh.blocks[idx].points,
+        pts = np.ascontiguousarray(self._snapshot().blocks[idx].points,
                                    dtype="<f8")
         return pts.tobytes()
 
@@ -121,13 +141,23 @@ def _make_handler(service: MeshService, base_dir: str | None):
                 if parts == [] or parts == ["index.html"]:
                     import pathlib
 
-                    for root in (pathlib.Path(__file__).parents[2] / "web",):
+                    # repo checkout layout first; pip installs (which only
+                    # package turbomesh_tpu*) fall back to the serving CWD
+                    roots = (pathlib.Path(__file__).parents[2] / "web",
+                             pathlib.Path(base_dir or ".") / "web",
+                             pathlib.Path.cwd() / "web")
+                    for root in roots:
                         f = root / "index.html"
                         if f.exists():
                             return self._send(200, f.read_bytes(),
                                               "text/html; charset=utf-8")
-                    return self._json(404, {"error": "no index.html"})
+                    return self._json(404, {
+                        "error": "no web/index.html found next to the "
+                                 "package or under the serving directory; "
+                                 "the JSON/binary API endpoints work without it"})
                 return self._json(404, {"error": f"unknown path {self.path}"})
+            except LookupError as exc:  # freed/missing mesh or bad index
+                return self._json(404, {"error": str(exc)})
             except Exception as exc:  # noqa: BLE001 — surfaced to the client
                 return self._json(500, {"error": str(exc)})
 
@@ -165,6 +195,15 @@ def serve(port: int = 8732, base_dir: str | None = None,
 
 def main(argv=None) -> int:
     import argparse
+    import os
+
+    # same platform hook as the CLI (cli.py:19-26): sitecustomize may pin
+    # the JAX platform, where JAX_PLATFORMS alone is ignored
+    platform = os.environ.get("TURBOMESH_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
 
     p = argparse.ArgumentParser(
         prog="turbomesh-serve",
