@@ -152,3 +152,108 @@ def test_o4h_white_parity():
         cd = device.solve(cd, cf)
         err = np.abs(co - cd).max()
         assert err < 1e-10, f"white parity mismatch at iter {it}: {err:.3e}"
+
+
+def _o4h_mesh():
+    from turbomesh_tpu import input as input_mod
+
+    cfg = {
+        "template": {"O4H": {
+            "inlet_distance": 0.05, "outlet_distance": 0.02,
+            "blade_clustering": {"roberts": {"alpha": 0.5, "beta": 1.1}},
+            "num_cells": {
+                "o_grid": 6, "middle_i": 12, "in_up_j": 6, "in_down_j": 5,
+                "in_i": 5, "out_up_j": 6, "out_down_j": 5, "out_i": 5,
+                "down_j": 6, "bulge": 6, "upstream_i": 5, "downstream_i": 5,
+            },
+        }},
+        "smoothing": {},
+        "geometry": {
+            "pitch": 0.08836,
+            "profile": {"csv": {
+                "down_csv_path": "examples/T106/T106_ps.dat",
+                "up_csv_path": "examples/T106/T106_ss.dat",
+            }},
+        },
+    }
+    inp = input_mod.load(cfg, base_dir="/root/repo")
+    return inp.template.run(inp.geometry)
+
+
+def test_device_white_update_parity():
+    """The jitted on-device White update (control_function.
+    make_device_update) must reproduce the host White.update exactly on
+    the padded stack — wall-block feedback, decay fill, and the
+    leading-edge connection special case."""
+    from turbomesh_tpu.smoothing.control_function import (
+        White, make_device_update)
+
+    import jax.numpy as jnp
+
+    mesh = _o4h_mesh()
+    info = classify(mesh)
+    white = White(ds_target=1e-4)
+    cf = white.init(mesh)
+
+    dev = DeviceSmoother(mesh, info)
+    p = dev.plan
+
+    # move the mesh one Picard step so the update sees non-trivial geometry
+    coords = SparseSystem(mesh, info).solve(mesh.flat_coords(), cf)
+    mesh.set_flat_coords(coords)
+
+    # host update
+    cf_host = cf.copy()
+    white.update(cf_host, mesh)
+
+    # device update on the padded stack
+    upd = make_device_update(white, mesh, p)
+    Xpad = np.zeros((p.B * p.N * p.M, 2))
+    Xpad[p.scatter_idx] = coords
+    cfpad = np.zeros((p.B * p.N * p.M, 2))
+    cfpad[p.scatter_idx] = cf
+    C1 = upd(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
+             jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)))
+    cf_dev = np.asarray(C1).reshape(-1, 2)[p.scatter_idx]
+
+    err = np.abs(cf_dev - cf_host).max()
+    assert err < 1e-13, f"device White update mismatch {err:.3e}"
+
+
+def test_device_resident_run_matches_solve_loop():
+    """DeviceSmoother.run (field stays in HBM, White update on device)
+    must produce the same trajectory as the host-orchestrated loop of
+    per-iteration solve() + host White.update."""
+    from turbomesh_tpu.smoothing.control_function import White
+
+    mesh = _o4h_mesh()
+    info = classify(mesh)
+    white = White(ds_target=1e-4)
+
+    dev = DeviceSmoother(mesh, info)
+    cf0 = white.init(mesh)
+    coords0 = mesh.flat_coords()
+
+    # host-orchestrated loop (the old smooth_mesh device branch)
+    c = coords0.copy()
+    cf = cf0.copy()
+    disps = []
+    for n in range(3):
+        if n > 0:
+            mesh.set_flat_coords(c)
+            white.update(cf, mesh)
+        new = dev.solve(c, cf)
+        d = new - c
+        disps.append(float(d[:, 0] @ d[:, 0] + d[:, 1] @ d[:, 1]) ** 2)
+        c = new
+
+    # device-resident loop
+    hist = []
+    c_run, cf_run, disp, n_done = dev.run(coords0.copy(), cf0.copy(), 3,
+                                          algorithm=white,
+                                          residual_history=hist)
+    assert n_done == 3
+    np.testing.assert_allclose(c_run, c, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(cf_run, cf, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(hist, disps, rtol=1e-6)
+    assert disp == hist[-1]

@@ -253,3 +253,101 @@ def from_config(cfg) -> Laplace | White:
                 out.theta_target = params["theta_target"]
             return out
     raise ValueError(f"unknown wall control function {cfg!r}")
+
+
+# ---------------------------------------------------------------------------
+# Device-resident control-function update (for DeviceSmoother.run's
+# HBM-resident Picard loop). Same formulas as White.update /
+# wall_control_function.zig:282-473, expressed as jittable array ops over
+# the padded (B, N, M, 2) coordinate/cf stacks so the outer loop never
+# downloads the field.
+# ---------------------------------------------------------------------------
+
+
+def make_device_update(algorithm, mesh, plan):
+    """Build a jitted ``update(X, cf) -> cf`` on padded stacks, or None
+    when the algorithm has no per-iteration update (Laplace).
+
+    Block extents and the wall-block list are static (baked into the
+    trace); X and cf are (B, N, M, 2) device arrays laid out as
+    DevicePlan pads them (block point (i, j) at [b, i, j])."""
+    if not isinstance(algorithm, White):
+        return None
+
+    import jax
+    import jax.numpy as jnp
+
+    wall_blocks = [(b, mesh.blocks[b].size) for b in White._wall_blocks(mesh)]
+    le = White._le_connection_applicable(mesh)
+    nj0 = mesh.blocks[0].size[1] if le else 0
+    ds_t = algorithm.ds_target
+    th_t = algorithm.theta_target
+
+    def _wall_first_derivs(x, y):
+        """First xi derivatives along the wall row j=0 (central interior,
+        one-sided ends — _wall_xi_derivs, second=False)."""
+        x_xi = jnp.concatenate([
+            (x[1, 0] - x[0, 0])[None],
+            0.5 * (x[2:, 0] - x[:-2, 0]),
+            (x[-1, 0] - x[-2, 0])[None],
+        ])
+        y_xi = jnp.concatenate([
+            (y[1, 0] - y[0, 0])[None],
+            0.5 * (y[2:, 0] - y[:-2, 0]),
+            (y[-1, 0] - y[-2, 0])[None],
+        ])
+        return x_xi, y_xi
+
+    def update(X, cf):
+        for b, (ni, nj) in wall_blocks:
+            xb = X[b, :ni, :nj, :]
+            x = xb[..., 0]
+            y = xb[..., 1]
+            x_xi, y_xi = _wall_first_derivs(x, y)
+            x_eta = -x[:, 0] + x[:, 1]
+            y_eta = -y[:, 0] + y[:, 1]
+
+            g11 = x_xi * x_xi + y_xi * y_xi
+            g12 = x_xi * x_eta + y_xi * y_eta
+            g22 = x_eta * x_eta + y_eta * y_eta
+            ds = jnp.sqrt(g22)
+            theta = jnp.arccos(g12 / jnp.sqrt(g11 * g22))
+            delta_p = -jnp.arctan2(th_t - theta, th_t)
+            delta_q = jnp.arctan2(ds_t - ds, ds_t)
+
+            wall = cf[b, :ni, 0, :]
+            p = wall[:, 0] + 0.1 * delta_p
+            q = wall[:, 1] + 0.1 * delta_q
+            factor = 1.0 - jnp.arange(nj, dtype=X.dtype) / (nj - 1.0)
+            newb = jnp.stack([p[:, None] * factor[None, :],
+                              q[:, None] * factor[None, :]], axis=-1)
+            cf = cf.at[b, :ni, :nj, :].set(newb)
+
+        if le:
+            # leading-edge junction feedback (block 0 column i=0), reading
+            # cf[0,(0,0)] AFTER the wall-block decay fill, like the host path
+            p0 = X[0]
+            p1 = X[1]
+            x_i_j = p0[0, 0]
+            x_ip1_j = p0[1, 0]     # first interior of block 0
+            x_im1_j = p1[1, 0]     # first interior of block 1
+            x_i_jp1 = p0[0, 1]
+            # negated central difference (wall_control_function.zig:429-431)
+            x_xi = -0.5 * (x_ip1_j[0] - x_im1_j[0])
+            y_xi = -0.5 * (x_ip1_j[1] - x_im1_j[1])
+            x_eta = -x_i_j[0] + x_i_jp1[0]
+            y_eta = -x_i_j[1] + x_i_jp1[1]
+
+            g11 = x_xi * x_xi + y_xi * y_xi
+            g12 = x_xi * x_eta + y_xi * y_eta
+            g22 = x_eta * x_eta + y_eta * y_eta
+            ds = jnp.sqrt(g22)
+            theta = jnp.arccos(g12 / jnp.sqrt(g11 * g22))
+            p_ = cf[0, 0, 0, 0] - 0.1 * jnp.arctan2(th_t - theta, th_t)
+            q_ = cf[0, 0, 0, 1] + 0.1 * jnp.arctan2(ds_t - ds, ds_t)
+            factor0 = 1.0 - jnp.arange(nj0, dtype=X.dtype) / (nj0 - 1.0)
+            cf = cf.at[0, 0, :nj0, 0].set(factor0 * p_)
+            cf = cf.at[0, 0, :nj0, 1].set(factor0 * q_)
+        return cf
+
+    return jax.jit(update)

@@ -478,7 +478,13 @@ class DeviceSmoother:
         tol_s = jnp.maximum(self.rtol * jnp.linalg.norm(b_s), self.atol)
         converged = jnp.logical_or(rn_s <= tol_s, rnorm <= tol2)
         X1 = self._stage_finish(base, delta)
-        return X1.reshape(Xpad.shape), rnorm, converged
+        X1 = X1.reshape(Xpad.shape)
+        # displacement-norm Picard residual (smooth.zig:136 formula):
+        # (sum dx^2 + sum dy^2)^2 over all points — padded lanes are zero
+        # in both fields, so the padded sum equals the global-space sum
+        d2 = jnp.sum((X1 - Xpad) ** 2)
+        stats = jnp.stack([rnorm, converged.astype(jnp.float64), d2 * d2])
+        return X1, stats
 
     # ---- staged kernels (separately jitted in __init__) ---------------------
 
@@ -721,7 +727,7 @@ class DeviceSmoother:
 
         log = logging.getLogger("turbomesh.device")
         try:
-            X1, rn, ok = self._solve_jit(X, C)
+            X1, stats = self._solve_jit(X, C)
         except Exception as e:  # noqa: BLE001 — compile-service fallback
             if not _compile_failure(e):
                 raise
@@ -735,7 +741,7 @@ class DeviceSmoother:
             os.environ["TURBOMESH_PALLAS"] = "0"
             self._solve_jit = jax.jit(self._solve_impl)
             try:
-                X1, rn, ok = self._solve_jit(X, C)
+                X1, stats = self._solve_jit(X, C)
             except Exception as e2:  # noqa: BLE001
                 if not _compile_failure(e2):
                     raise
@@ -743,6 +749,7 @@ class DeviceSmoother:
                     "fused solve still failed to compile; degrading to "
                     "the staged per-program architecture")
                 return self._solve_staged(coords, cf)
+        rn, ok, _ = np.asarray(stats)
         rn = float(rn)
         if not bool(ok):
             _warn_nonconverged("device fgmres",
@@ -750,6 +757,123 @@ class DeviceSmoother:
                                self.atol)
         self.last_linear_residual = rn
         return np.asarray(X1).reshape(-1, 2)[p.scatter_idx]
+
+    def run(self, coords: np.ndarray, cf: np.ndarray, iterations: int,
+            algorithm=None, start_iteration: int = 0,
+            target_residual: float | None = None,
+            residual_history: list | None = None,
+            checkpoint_cb=None, checkpoint_every: int = 10):
+        """Device-resident outer Picard loop (the TPU-native counterpart
+        of the reference's iteration loop, smooth.zig:104-153).
+
+        The padded coordinate stack is uploaded ONCE and stays in HBM
+        across Picard iterations; each iteration dispatches (a) the
+        jitted control-function update (White's feedback law as array
+        ops, control_function.make_device_update) for n > 0 and (b) the
+        fused linearized solve — and downloads ONE tiny stats vector
+        [linear residual, converged flag, displacement residual]. The
+        full field crosses the (slow) device->host tunnel only at
+        checkpoints and once at the end. Contrast DeviceSmoother.solve,
+        which round-trips the field every call — at 100M nodes that is
+        ~1.6 GB/iteration through a ~15 MB/s link.
+
+        algorithm: control-function object (Laplace/White) whose update
+        runs on device; None skips updates. checkpoint_cb(coords, cf, n):
+        called with host arrays every checkpoint_every iterations.
+        Returns (coords, cf, last_displacement_residual, iterations_run).
+        """
+        import logging
+
+        from .control_function import make_device_update
+        from .krylov import _warn_nonconverged
+
+        log = logging.getLogger("turbomesh.smoothing")
+        p = self.plan
+        upd = (make_device_update(algorithm, self._mesh, p)
+               if algorithm is not None else None)
+
+        Xpad = np.zeros((p.B * p.N * p.M, 2))
+        Xpad[p.scatter_idx] = coords
+        cfpad = np.zeros((p.B * p.N * p.M, 2))
+        cfpad[p.scatter_idx] = cf
+        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+
+        def to_host(Xdev, Cdev):
+            c = np.asarray(Xdev).reshape(-1, 2)[p.scatter_idx]
+            f = np.asarray(Cdev).reshape(-1, 2)[p.scatter_idx]
+            return c, f
+
+        disp = np.inf
+        n_done = start_iteration
+        for n in range(start_iteration, iterations):
+            log.info("iteration: %d", n)
+            if n > 0 and upd is not None:
+                C = upd(X, C)
+            try:
+                X, stats = self._solve_jit(X, C)
+            except Exception as e:  # noqa: BLE001 — degrade to solve()'s chain
+                if not ("Mosaic" in str(e) or "remote_compile" in str(e)):
+                    raise
+                log.warning(
+                    "device-resident loop: fused solve failed to compile; "
+                    "degrading to per-iteration solve() with host fields")
+                coords, cf = to_host(X, C)
+                return self._run_host_loop(
+                    coords, cf, iterations, algorithm, n,
+                    target_residual, residual_history,
+                    checkpoint_cb, checkpoint_every)
+            rn, ok, disp = (float(v) for v in np.asarray(stats))  # one pull
+            if not ok:
+                _warn_nonconverged("device fgmres",
+                                   self.restart * self.max_restarts, rn,
+                                   self.atol)
+            self.last_linear_residual = rn
+            log.info("\tresidual: %.6e", disp)
+            if residual_history is not None:
+                residual_history.append(disp)
+            n_done = n + 1
+            if target_residual is not None and disp < target_residual:
+                log.info("converged: residual %.3e < target %.3e at "
+                         "iteration %d", disp, target_residual, n)
+                break
+            if checkpoint_cb is not None and n_done % checkpoint_every == 0:
+                checkpoint_cb(*to_host(X, C), n_done)
+
+        coords, cf = to_host(X, C)
+        return coords, cf, disp, n_done
+
+    def _run_host_loop(self, coords, cf, iterations, algorithm,
+                       start_iteration, target_residual, residual_history,
+                       checkpoint_cb, checkpoint_every):
+        """run() fallback when the fused program cannot compile: the
+        classic host-orchestrated loop over solve() (which degrades
+        further to staged/host-Krylov on its own)."""
+        import logging
+
+        log = logging.getLogger("turbomesh.smoothing")
+        disp = np.inf
+        n_done = start_iteration
+        for n in range(start_iteration, iterations):
+            log.info("iteration: %d", n)
+            if n > 0 and algorithm is not None:
+                self._mesh.set_flat_coords(coords)
+                algorithm.update(cf, self._mesh)
+            new = self.solve(coords, cf)
+            d = new - coords
+            disp = float(d[:, 0] @ d[:, 0] + d[:, 1] @ d[:, 1]) ** 2
+            log.info("\tresidual: %.6e", disp)
+            if residual_history is not None:
+                residual_history.append(disp)
+            coords = new
+            n_done = n + 1
+            if target_residual is not None and disp < target_residual:
+                log.info("converged: residual %.3e < target %.3e at "
+                         "iteration %d", disp, target_residual, n)
+                break
+            if checkpoint_cb is not None and n_done % checkpoint_every == 0:
+                checkpoint_cb(coords, cf, n_done)
+        return coords, cf, disp, n_done
 
     def _solve_staged(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
         """Staged fallback: f64 iterative refinement on host over

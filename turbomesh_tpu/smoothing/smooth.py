@@ -110,6 +110,38 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
 
     coords = mesh.flat_coords()
 
+    if backend == "device":
+        # device-resident Picard loop: the field stays in HBM across
+        # iterations (White update is a jitted device program); only the
+        # per-iteration stats vector crosses the tunnel. The reference's
+        # outer loop (smooth.zig:104-153) with TPU-native data residency.
+        def checkpoint_cb(c, f, n_done):
+            from ..checkpoint import save_checkpoint
+
+            mesh.set_flat_coords(c)
+            with timer.phase("checkpoint"):
+                save_checkpoint(checkpoint_path, mesh, n_done, f)
+
+        with timer.phase("picard_loop"):
+            coords, cf, disp, n_done = smoother.run(
+                coords, cf, iterations, algorithm=algorithm,
+                start_iteration=start_iteration,
+                target_residual=target_residual,
+                residual_history=residual_history,
+                checkpoint_cb=(checkpoint_cb if checkpoint_path is not None
+                               else None),
+                checkpoint_every=checkpoint_every)
+        mesh.set_flat_coords(coords)
+        if checkpoint_path is not None and target_residual is not None \
+                and disp < target_residual:
+            from ..checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, mesh, n_done, cf)
+        timer.log_report(nodes=mesh.num_points)
+        log.info("elapsed time for smoothing: %.2f s",
+                 time.perf_counter() - t0)
+        return
+
     for n in range(start_iteration, iterations):
         log.info("iteration: %d", n)
         if n > 0:
