@@ -272,6 +272,10 @@ class DeviceSmoother:
             max_restarts = max(1, max_iters // restart)
         self.max_restarts = max_restarts
         self.max_refine = max_refine
+        #: which program granularity actually ran last ("fused",
+        #: "fused_nopallas", "staged", "staged_hostinner", "host_krylov")
+        #: — reported by the bench sweep alongside throughput
+        self.granularity = "fused"
         p = self.plan
 
         def _as_dev(x):
@@ -705,6 +709,7 @@ class DeviceSmoother:
         import os
 
         if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1":
+            self.granularity = "host_krylov"
             return self._solve_host_krylov(coords, cf)
         if os.environ.get("TURBOMESH_FUSED_SOLVE") == "0":
             return self._solve_staged(coords, cf)
@@ -740,6 +745,7 @@ class DeviceSmoother:
                 "the Pallas smoother", str(e).splitlines()[0][:120])
             os.environ["TURBOMESH_PALLAS"] = "0"
             self._solve_jit = jax.jit(self._solve_impl)
+            self.granularity = "fused_nopallas"
             try:
                 X1, stats = self._solve_jit(X, C)
             except Exception as e2:  # noqa: BLE001
@@ -882,6 +888,9 @@ class DeviceSmoother:
         residual norm (one scalar) crosses per pass."""
         from .krylov import _warn_nonconverged
 
+        self.granularity = ("staged_hostinner"
+                            if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
+                            else "staged")
         p = self.plan
         Xpad = np.zeros((p.B * p.N * p.M, 2))
         Xpad[p.scatter_idx] = coords
@@ -913,6 +922,7 @@ class DeviceSmoother:
                     "fused inner solver failed to compile; degrading to "
                     "host-orchestrated per-piece programs")
                 os.environ["TURBOMESH_FUSED_INNER"] = "0"
+                self.granularity = "staged_hostinner"
                 d = self._inner_solve(ctx, C, r)
             x = x + jnp.where(free64, d, 0.0)
             r = b - self._jit_apply64(baseF, C, x)

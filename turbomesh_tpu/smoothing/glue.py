@@ -38,7 +38,19 @@ from .classify import BoundaryInfo, Kind
 class GlueLevel:
     """Static per-level glue data. N, M are the level's padded block
     dims (without ghosts); indices are ghost-space flat
-    (b*(N+2)*(M+2) + (i+1)*(M+2) + (j+1) for a block point (i, j))."""
+    (b*(N+2)*(M+2) + (i+1)*(M+2) + (j+1) for a block point (i, j)).
+
+    The ``c*``/``j*`` arrays are CORRECTION-FIELD-ONLY entries: they embed
+    the sliding rows (y copies the level-local first interior neighbor)
+    and the junction rows (master <- mean of the members' level-local
+    interior neighbors) into every relaxation pass, so the V-cycle's
+    interior solve sees consistent boundary corrections instead of
+    Dirichlet-0 walls. Without them those rows are preconditioned only by
+    the one interface Jacobi step outside the V-cycle, and the resulting
+    interior<->boundary block Gauss-Seidel owns the Krylov iteration
+    count (measured round 3: the mid-solve residual concentrates on the
+    ~230 sliding/junction rows at 5-10x the interior norm). They must NOT
+    be applied to coordinate or residual fields."""
 
     N: int
     M: int
@@ -46,6 +58,14 @@ class GlueLevel:
     src: np.ndarray           # (G,)
     dst: np.ndarray           # (G,)
     off: np.ndarray           # (G, 2) — added to coordinate fields only
+    # correction-only sliding/slave-like copies (channel-weighted)
+    csrc: np.ndarray          # (Gc,)
+    cdst: np.ndarray          # (Gc,)
+    cw: np.ndarray            # (Gc, 2) per-channel weights
+    # correction-only junction neighbor means
+    jdst: np.ndarray          # (L,)
+    jsrc: np.ndarray          # (L, K) ghost-space stencil (padded w/ dst)
+    jw: np.ndarray            # (L, K) weights (0 padding)
 
 
 def _decode_shift(shift: int, nj: int):
@@ -66,12 +86,21 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
     B = len(sizes)
     starts = mesh.block_row_starts()
     kind = info.kind
+    sizes_j = np.array([nj for _, nj in sizes], dtype=np.int64)
 
     def decode_global(g):
         """global flat id -> (block, i, j)"""
         b = int(np.searchsorted(starts, g, side="right") - 1)
         r = int(g - starts[b])
         nj = sizes[b][1]
+        return b, r // nj, r % nj
+
+    def decode_global_vec(g):
+        """vectorized decode: (G,) global flat ids -> (b, i, j) arrays"""
+        g = np.asarray(g, dtype=np.int64)
+        b = np.searchsorted(starts, g, side="right") - 1
+        r = g - np.asarray(starts)[b]
+        nj = sizes_j[b]
         return b, r // nj, r % nj
 
     # per-level sampled fine indices per block + padded dims
@@ -100,13 +129,41 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
             kb = kind[starts[b] : starts[b] + ni * nj].reshape(ni, nj)
             ks = kb[np.ix_(ii[b], jj[b])]
             ok = (ks == Kind.INTERIOR) | (ks == Kind.SMOOTHED)
+            # the [::2]-per-level lattice loses the block's far boundary
+            # whenever the index-list length is even; the last lattice
+            # row is then a fine-INTERIOR point whose coarse stencil
+            # reads the zero pad beyond the block — near-zero metric
+            # diagonals there made the coarse zebra sweeps amplify
+            # residuals ~100-1000x (measured level 2+, rounds 1-3).
+            # Treat that row as the boundary instead (Dirichlet at the
+            # nearest on-lattice line): stable, and only shifts the
+            # coarse BC by one fine cell.
+            if ii[b][-1] != ni - 1:
+                ok[-1, :] = False
+            if jj[b][-1] != nj - 1:
+                ok[:, -1] = False
             smooth[b, : len(ii[b]), : len(jj[b])] = ok
 
-        src, dst, off = [], [], []
+        step = 1 << lvl
+        src_l, dst_l, off_l = [], [], []
 
-        # ghost entries per connection (both sides want ghosts: side-0
-        # SMOOTHED rows are relaxed; side-1 faces are slaves whose
-        # adjacent interiors smooth fine without extra ghosts)
+        def nearest_lattice(f, b, axis):
+            """Fine index -> nearest lattice index on this level (clipped).
+
+            Exact when the fine index is on the lattice; otherwise rounds
+            to the nearest multiple of 2^level — coarse-level glue must
+            NOT demand exact alignment: connection ranges start at
+            arbitrary offsets, so requiring both sides on-lattice loses
+            almost all entries below level ~2 (measured: 1690 -> 217 ->
+            47 -> 6 on the scale-1 T106), leaving smooth across-interface
+            error modes without any coarse correction — which was the
+            dominant Krylov cost. A nearest-point ghost is plenty for a
+            preconditioner."""
+            n = len((ii if axis == 0 else jj)[b])
+            return np.clip(np.rint(f / step).astype(np.int64), 0, n - 1)
+
+        # ghost entries per connection (side-0 SMOOTHED rows are relaxed;
+        # side-1 faces are slaves whose adjacent interiors need no ghosts)
         for cm in info.conn_meta:
             b0, i00, j00 = decode_global(int(cm.g0[0]))
             b1, i10, j10 = decode_global(int(cm.g1[0]))
@@ -118,41 +175,118 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
             pi = (np.zeros(2) if cm.periodicity is None
                   else np.asarray(cm.periodicity, dtype=np.float64))
             L = len(cm.g0)
-            for k in range(L):
-                i0, j0 = i00 + k * di_c0, j00 + k * dj_c0
-                i1, j1 = i10 + k * di_c1, j10 + k * dj_c1
-                c_i0, c_j0 = inv_i[b0][i0], inv_j[b0][j0]
-                c_i1, c_j1 = inv_i[b1][i1], inv_j[b1][j1]
-                if min(c_i0, c_j0, c_i1, c_j1) < 0:
-                    continue  # off this level's lattice
-                # partner first interior on this level's lattice
-                s_i1, s_j1 = c_i1 + di_f1, c_j1 + dj_f1
-                if not (0 <= s_i1 < len(ii[b1]) and 0 <= s_j1 < len(jj[b1])):
-                    continue
-                # ghost position: one lattice step OUTSIDE block 0
-                g_i0, g_j0 = c_i0 - di_f0, c_j0 - dj_f0
-                dst.append(gflat(b0, g_i0, g_j0))
-                src.append(gflat(b1, s_i1, s_j1))
-                off.append(-pi)  # local frame: partner coords - periodicity
-
-        # slave entries (x_s = x_m + off; corrections copy exactly)
-        for gs, gm, o in zip(info.slave_ids, info.master_ids,
-                             info.slave_offsets):
-            bs, is_, js = decode_global(int(gs))
-            bm, im, jm = decode_global(int(gm))
-            c_is, c_js = inv_i[bs][is_], inv_j[bs][js]
-            c_im, c_jm = inv_i[bm][im], inv_j[bm][jm]
-            if min(c_is, c_js, c_im, c_jm) < 0:
+            k = np.arange(L)
+            i0, j0 = i00 + k * di_c0, j00 + k * dj_c0
+            i1, j1 = i10 + k * di_c1, j10 + k * dj_c1
+            # side-0 face points must exist on this level (they carry the
+            # relaxed rows); partner positions round to nearest lattice
+            c_i0, c_j0 = inv_i[b0][i0], inv_j[b0][j0]
+            ok = (c_i0 >= 0) & (c_j0 >= 0)
+            if not np.any(ok):
                 continue
-            dst.append(gflat(bs, c_is, c_js))
-            src.append(gflat(bm, c_im, c_jm))
-            off.append(np.asarray(o, dtype=np.float64))
+            c_i0, c_j0 = c_i0[ok], c_j0[ok]
+            n1i, n1j = len(ii[b1]), len(jj[b1])
+            c_i1 = nearest_lattice(i1[ok], b1, 0)
+            c_j1 = nearest_lattice(j1[ok], b1, 1)
+            # partner first interior = one LEVEL step inward
+            s_i1 = np.clip(c_i1 + di_f1, 0, n1i - 1)
+            s_j1 = np.clip(c_j1 + dj_f1, 0, n1j - 1)
+            # ghost position: one lattice step OUTSIDE block 0
+            dst_l.append(gflat(b0, c_i0 - di_f0, c_j0 - dj_f0))
+            src_l.append(gflat(b1, s_i1, s_j1))
+            off_l.append(np.broadcast_to(-pi, (int(ok.sum()), 2)))
+
+        # slave entries (x_s = x_m + off; corrections copy exactly);
+        # masters round to the nearest lattice face point
+        if len(info.slave_ids):
+            bs, is_, js = decode_global_vec(info.slave_ids)
+            bm, im, jm = decode_global_vec(info.master_ids)
+            c_is = np.array([inv_i[b][i] for b, i in zip(bs, is_)])
+            c_js = np.array([inv_j[b][j] for b, j in zip(bs, js)])
+            ok = (c_is >= 0) & (c_js >= 0)
+            if np.any(ok):
+                bs_, bm_ = bs[ok], bm[ok]
+                len_i = np.array([len(ii[b]) for b in range(B)])
+                len_j = np.array([len(jj[b]) for b in range(B)])
+                c_im = np.clip(np.rint(im[ok] / step).astype(np.int64),
+                               0, len_i[bm_] - 1)
+                c_jm = np.clip(np.rint(jm[ok] / step).astype(np.int64),
+                               0, len_j[bm_] - 1)
+                dst_l.append(gflat(bs_, c_is[ok], c_js[ok]))
+                src_l.append(gflat(bm_, c_im, c_jm))
+                off_l.append(np.asarray(info.slave_offsets,
+                                        dtype=np.float64)[ok])
+
+        src = (np.concatenate(src_l) if src_l
+               else np.empty(0, np.int64)).astype(np.int64)
+        dst = (np.concatenate(dst_l) if dst_l
+               else np.empty(0, np.int64)).astype(np.int64)
+        off = (np.concatenate(off_l).reshape(-1, 2) if off_l
+               else np.empty((0, 2), np.float64))
+
+        # correction-only sliding embedding: y(sliding pt) <- y(level-local
+        # first interior neighbor); x forced to 0 (its correction is 0)
+        csrc, cdst, cw = [], [], []
+        for gs, gn in zip(info.sliding_ids, info.sliding_neighbor_ids):
+            bs, i_s, j_s = decode_global(int(gs))
+            _, i_n, j_n = decode_global(int(gn))
+            di = int(np.sign(i_n - i_s))
+            dj = int(np.sign(j_n - j_s))
+            c_is, c_js = inv_i[bs][i_s], inv_j[bs][j_s]
+            if min(c_is, c_js) < 0:
+                continue
+            c_in, c_jn = c_is + di, c_js + dj
+            if not (0 <= c_in < len(ii[bs]) and 0 <= c_jn < len(jj[bs])):
+                continue
+            cdst.append(gflat(bs, c_is, c_js))
+            csrc.append(gflat(bs, c_in, c_jn))
+            cw.append((0.0, 1.0))
+
+        # correction-only junction embedding: master <- mean of the
+        # members' level-local interior neighbors (the row's exact solve
+        # for r=0; same neighbor topology as classify._interior_neighbors)
+        from .classify import _interior_neighbors
+
+        jdst, jsrc, jw = [], [], []
+        for lp in info.laplacian_points:
+            bm, i_m, j_m = decode_global(int(lp.global_id))
+            c_im, c_jm = inv_i[bm][i_m], inv_j[bm][j_m]
+            if min(c_im, c_jm) < 0:
+                continue
+            nbrs = []
+            for gid, _per in lp.overlapping:
+                b2, i2, j2 = decode_global(int(gid))
+                c_i2, c_j2 = inv_i[b2][i2], inv_j[b2][j2]
+                if min(c_i2, c_j2) < 0:
+                    continue
+                for pi_, pj_ in _interior_neighbors(
+                        int(c_i2), int(c_j2), len(ii[b2]), len(jj[b2])):
+                    nbrs.append(gflat(b2, pi_, pj_))
+            if not nbrs:
+                continue
+            jdst.append(gflat(bm, c_im, c_jm))
+            jsrc.append(nbrs)
+            jw.append([1.0 / len(nbrs)] * len(nbrs))
+
+        K = max((len(s_) for s_ in jsrc), default=1)
+        jsrc_a = np.zeros((len(jdst), K), dtype=np.int64)
+        jw_a = np.zeros((len(jdst), K), dtype=np.float64)
+        for li, (d_, s_, w_) in enumerate(zip(jdst, jsrc, jw)):
+            jsrc_a[li, :] = d_          # padding reads dst (weight 0)
+            jsrc_a[li, : len(s_)] = s_
+            jw_a[li, : len(w_)] = w_
 
         levels.append(GlueLevel(
             N=Nl, M=Ml, smooth_mask=smooth,
             src=np.asarray(src, dtype=np.int64),
             dst=np.asarray(dst, dtype=np.int64),
             off=(np.asarray(off, dtype=np.float64).reshape(-1, 2)),
+            csrc=np.asarray(csrc, dtype=np.int64),
+            cdst=np.asarray(cdst, dtype=np.int64),
+            cw=np.asarray(cw, dtype=np.float64).reshape(-1, 2),
+            jdst=np.asarray(jdst, dtype=np.int64),
+            jsrc=jsrc_a,
+            jw=jw_a,
         ))
 
         if (n_levels is not None and len(levels) >= n_levels) or \

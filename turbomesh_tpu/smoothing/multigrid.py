@@ -343,9 +343,19 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
             src = jnp.asarray(gl.src.astype(np.int32))
             dst = jnp.asarray(gl.dst.astype(np.int32))
             off = jnp.asarray(gl.off, dtype=base.dtype)
+            csrc = jnp.asarray(gl.csrc.astype(np.int32))
+            cdst = jnp.asarray(gl.cdst.astype(np.int32))
+            cw = jnp.asarray(gl.cw, dtype=base.dtype)
+            jdst = jnp.asarray(gl.jdst.astype(np.int32))
+            jsrc = jnp.asarray(gl.jsrc.astype(np.int32))
+            jw = jnp.asarray(gl.jw, dtype=base.dtype)
         else:
             src = dst = jnp.zeros((0,), jnp.int32)
             off = jnp.zeros((0, 2), base.dtype)
+            csrc = cdst = jdst = jnp.zeros((0,), jnp.int32)
+            cw = jnp.zeros((0, 2), base.dtype)
+            jsrc = jnp.zeros((0, 1), jnp.int32)
+            jw = jnp.zeros((0, 1), base.dtype)
 
         glue_fn = None if glue_fns is None else glue_fns[lvl]
         baseg = _glue_apply(base, src, dst, off, True, glue_fn)
@@ -368,7 +378,9 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
 
         levels.append(MGLevel(baseg=baseg, cf=cf, interior=mask,
                               diag=diag, lj=lj, li=li,
-                              gsrc=src, gdst=dst))
+                              gsrc=src, gdst=dst,
+                              gcsrc=csrc, gcdst=cdst, gcw=cw,
+                              gjdst=jdst, gjsrc=jsrc, gjw=jw))
     return levels
 
 
@@ -389,11 +401,39 @@ def _glue_pad(v, src, dst, off, coord_field=False):
     return vf.at[dst].set(vals).reshape(shape)
 
 
+def _glue_correction(level: MGLevel, v, glue_fn=None):
+    """Glue a CORRECTION field: ghost halos + slave copies, then the
+    correction-only embeddings (glue.py GlueLevel.c*/j*): junction
+    masters take the mean of their members' interior-neighbor
+    corrections (the junction row's exact solve for r=0; slave copies
+    refreshed so other blocks' corners see it), and sliding points copy
+    the y-correction of their level-local first interior neighbor (x
+    forced to 0). This makes the V-cycle's interior relaxation see
+    consistent boundary corrections instead of Dirichlet-0 walls — the
+    interior<->sliding/junction block Gauss-Seidel those walls induce
+    was the measured bottleneck of the whole Krylov iteration. Never
+    apply to coordinate or residual fields."""
+    vg = _glue_apply(v, level.gsrc, level.gdst, None, False, glue_fn)
+    if level.gjdst.shape[0] or level.gcdst.shape[0]:
+        shape = vg.shape
+        vf = vg.reshape(-1, shape[-1])
+        if level.gjdst.shape[0]:
+            vals = jnp.sum(level.gjw[..., None] * vf[level.gjsrc], axis=1)
+            vf = vf.at[level.gjdst].set(vals, unique_indices=True)
+            if level.gsrc.shape[0]:  # refresh slaves of updated masters
+                vf = vf.at[level.gdst].set(vf[level.gsrc])
+        if level.gcdst.shape[0]:
+            vf = vf.at[level.gcdst].set(level.gcw * vf[level.gcsrc],
+                                        unique_indices=True)
+        vg = vf.reshape(shape)
+    return vg
+
+
 def _apply_glued(level: MGLevel, v, glue_fn=None):
     """Winslow stencil over the glued field; rows = smooth mask
-    (interior + SMOOTHED connection faces)."""
+    (interior + SMOOTHED connection faces). v is a correction field."""
     baseg = level.baseg
-    vg = _glue_apply(v, level.gsrc, level.gdst, None, False, glue_fn)
+    vg = _glue_correction(level, v, glue_fn)
     x_xi = 0.5 * (baseg[:, 2:, 1:-1] - baseg[:, :-2, 1:-1])
     x_eta = 0.5 * (baseg[:, 1:-1, 2:] - baseg[:, 1:-1, :-2])
     g11 = jnp.sum(x_xi * x_xi, axis=-1)[..., None]
@@ -471,7 +511,7 @@ def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij", glue_fn=None):
         passes += [(lj, 1, odd_i, 0.0), (lj, 1, odd_i, 1.0)]
 
     for (dl, d, du), axis, odd, par in passes:
-        zg = _glue_apply(z, level.gsrc, level.gdst, None, False, glue_fn)
+        zg = _glue_correction(level, z, glue_fn)
         sel = mask * jnp.where(odd == par, 1.0, 0.0)
         zx, zy = zebra_pass(bx, by, cfp, cfq, dl, d, du, mask, sel,
                             rx, ry, zg[..., 0], zg[..., 1], axis=axis,
