@@ -75,23 +75,36 @@ def test_zebra_kernel_interpret_matches_math():
         return jnp.asarray(rng.standard_normal((B, Ng, Mg)).astype(np.float32))
 
     bx, by, rx, ry, zx, zy = mk(), mk(), mk(), mk(), mk(), mk()
-    cfp = jnp.zeros((B, Ng, Mg), jnp.float32)
-    cfq = cfp
+    # nonzero P != Q so the Thomas variant's transpose path (which must
+    # swap the P/Q roles for j-line sweeps) is actually exercised
+    cfp = 0.1 * mk()
+    cfq = 0.1 * mk()
     d = jnp.ones((B, Ng, Mg), jnp.float32) * 4.0
     dl = -jnp.ones_like(d)
     du = -jnp.ones_like(d)
-    msk = jnp.ones((B, Ng, Mg), jnp.float32)
+    # production contract (zebra_pass docstring): the planes are
+    # ghost-framed and edge rows/cols are never smoothed — wrapped
+    # neighbor values must only reach rows ``sel`` zeroes. The split
+    # variant additionally relies on it where block planes abut in its
+    # flattened layout.
+    msk = np.ones((B, Ng, Mg), np.float32)
+    msk[:, [0, -1], :] = 0.0
+    msk[:, :, [0, -1]] = 0.0
+    msk = jnp.asarray(msk)
     sel = (jnp.arange(Mg) % 2 == 0).astype(jnp.float32) * msk
 
     for axis in (0, 1):
-        ker = zebra_pass(bx, by, cfp, cfq, dl, d, du, msk, sel,
-                         rx, ry, zx, zy, axis=axis,
-                         use_pallas=True, interpret=True)
         ref = zebra_pass(bx, by, cfp, cfq, dl, d, du, msk, sel,
                          rx, ry, zx, zy, axis=axis, use_pallas=False)
-        for a, b in zip(ker, ref):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-6, atol=1e-6)
+        for variant in ("pcr", "thomas", "split"):
+            ker = zebra_pass(bx, by, cfp, cfq, dl, d, du, msk, sel,
+                             rx, ry, zx, zy, axis=axis,
+                             use_pallas=True, interpret=True,
+                             variant=variant)
+            for a, b in zip(ker, ref):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5,
+                    err_msg=f"variant={variant} axis={axis}")
 
 
 def test_zebra_reduces_residual():

@@ -794,6 +794,15 @@ class DeviceSmoother:
         from .krylov import _warn_nonconverged
 
         log = logging.getLogger("turbomesh.smoothing")
+        if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1" or \
+                os.environ.get("TURBOMESH_FUSED_SOLVE") == "0":
+            # explicit fallback-granularity override: the per-iteration
+            # solve() honors it (staged / host-Krylov); those paths are
+            # host-orchestrated anyway
+            return self._run_host_loop(
+                coords, cf, iterations, algorithm, start_iteration,
+                target_residual, residual_history,
+                checkpoint_cb, checkpoint_every)
         p = self.plan
         upd = (make_device_update(algorithm, self._mesh, p)
                if algorithm is not None else None)

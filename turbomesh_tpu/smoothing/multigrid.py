@@ -343,9 +343,22 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
             src = jnp.asarray(gl.src.astype(np.int32))
             dst = jnp.asarray(gl.dst.astype(np.int32))
             off = jnp.asarray(gl.off, dtype=base.dtype)
-            csrc = jnp.asarray(gl.csrc.astype(np.int32))
-            cdst = jnp.asarray(gl.cdst.astype(np.int32))
-            cw = jnp.asarray(gl.cw, dtype=base.dtype)
+            # correction-field glue as ONE combined copy map (ghost +
+            # slave + sliding entries, statically deduplicated so the
+            # single scatter has no write-order ambiguity: sliding
+            # entries win over plain copies on the same destination) +
+            # the junction neighbor-mean rows. One gather + one scatter
+            # per application — the per-stage scatters of the first
+            # round-3 cut quadrupled XLA compile time.
+            taken = set(gl.cdst.tolist()) | set(gl.jdst.tolist())
+            keep = np.array([d not in taken for d in gl.dst], dtype=bool) \
+                if len(gl.dst) else np.zeros(0, dtype=bool)
+            ga_src = np.concatenate([gl.src[keep], gl.csrc])
+            ga_dst = np.concatenate([gl.dst[keep], gl.cdst])
+            ga_w = np.concatenate([np.ones((int(keep.sum()), 2)), gl.cw])
+            csrc = jnp.asarray(ga_src.astype(np.int32))
+            cdst = jnp.asarray(ga_dst.astype(np.int32))
+            cw = jnp.asarray(ga_w, dtype=base.dtype)
             jdst = jnp.asarray(gl.jdst.astype(np.int32))
             jsrc = jnp.asarray(gl.jsrc.astype(np.int32))
             jw = jnp.asarray(gl.jw, dtype=base.dtype)
@@ -402,31 +415,32 @@ def _glue_pad(v, src, dst, off, coord_field=False):
 
 
 def _glue_correction(level: MGLevel, v, glue_fn=None):
-    """Glue a CORRECTION field: ghost halos + slave copies, then the
+    """Glue a CORRECTION field: ghost halos + slave copies, plus the
     correction-only embeddings (glue.py GlueLevel.c*/j*): junction
     masters take the mean of their members' interior-neighbor
-    corrections (the junction row's exact solve for r=0; slave copies
-    refreshed so other blocks' corners see it), and sliding points copy
-    the y-correction of their level-local first interior neighbor (x
-    forced to 0). This makes the V-cycle's interior relaxation see
-    consistent boundary corrections instead of Dirichlet-0 walls — the
-    interior<->sliding/junction block Gauss-Seidel those walls induce
-    was the measured bottleneck of the whole Krylov iteration. Never
-    apply to coordinate or residual fields."""
-    vg = _glue_apply(v, level.gsrc, level.gdst, None, False, glue_fn)
-    if level.gjdst.shape[0] or level.gcdst.shape[0]:
-        shape = vg.shape
-        vf = vg.reshape(-1, shape[-1])
-        if level.gjdst.shape[0]:
-            vals = jnp.sum(level.gjw[..., None] * vf[level.gjsrc], axis=1)
-            vf = vf.at[level.gjdst].set(vals, unique_indices=True)
-            if level.gsrc.shape[0]:  # refresh slaves of updated masters
-                vf = vf.at[level.gdst].set(vf[level.gsrc])
-        if level.gcdst.shape[0]:
-            vf = vf.at[level.gcdst].set(level.gcw * vf[level.gcsrc],
-                                        unique_indices=True)
-        vg = vf.reshape(shape)
-    return vg
+    corrections (the junction row's exact solve for r=0), and sliding
+    points copy the y-correction of their level-local first interior
+    neighbor (x forced to 0). This makes the V-cycle's interior
+    relaxation see consistent boundary corrections instead of
+    Dirichlet-0 walls — the interior<->sliding/junction block
+    Gauss-Seidel those walls induce was the measured bottleneck of the
+    whole Krylov iteration. All copies + junction means are ONE
+    gather + ONE scatter over a statically deduplicated map (values
+    read the pre-scatter field: copy sources are interior/first-
+    interior points the scatter never writes). Never apply to
+    coordinate or residual fields."""
+    if glue_fn is not None:
+        return glue_fn(v, False)
+    vg = jnp.pad(v, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    shape = vg.shape
+    vf = vg.reshape(-1, v.shape[-1])
+    vals = level.gcw * vf[level.gcsrc]
+    dst = level.gcdst
+    if level.gjdst.shape[0]:
+        jvals = jnp.sum(level.gjw[..., None] * vf[level.gjsrc], axis=1)
+        vals = jnp.concatenate([vals, jvals], axis=0)
+        dst = jnp.concatenate([dst, level.gjdst], axis=0)
+    return vf.at[dst].set(vals, unique_indices=True).reshape(shape)
 
 
 def _apply_glued(level: MGLevel, v, glue_fn=None):
@@ -462,29 +476,37 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
     kernel's VMEM budget. TURBOMESH_PALLAS=0 opts out."""
     import os
 
-    from ..ops.zebra import pallas_service_ok, zebra_supported
+    from ..ops.zebra import (pallas_service_ok, zebra_kernel_ok,
+                             zebra_supported, zebra_variant)
 
-    # default OFF: the current tunneled runtime's Mosaic compiler crashes
-    # on any kernel chaining computed values into a PCR recurrence (and
-    # even on two single-rhs PCR solves in one kernel) — minimal
-    # reproducers in ops/zebra.py's history; the crash also wedges the
-    # remote compile service for minutes. The kernel itself is validated
-    # through the Pallas interpreter (tests/test_zebra.py); enable with
-    # TURBOMESH_PALLAS=1 on runtimes with a healthy Mosaic.
-    if os.environ.get("TURBOMESH_PALLAS", "0") != "1":
+    # TURBOMESH_PALLAS: "0" forces off, "1" forces on (past the probes),
+    # unset = AUTO — enable when the backend is TPU and the production
+    # kernel variant passes a one-time tiny-shape compile probe.  The
+    # default Thomas variant avoids the PCR dataflow that crashes this
+    # tunneled runtime's Mosaic ("failed to legalize 'func.return'",
+    # minimal reproducers in ops/zebra.py's history); on runtimes where
+    # even that fails, the probe cleanly falls back to the XLA zebra
+    # expression.  Kernel semantics are interpreter-pinned either way
+    # (tests/test_zebra.py).
+    gate = os.environ.get("TURBOMESH_PALLAS", "auto")
+    if gate == "0":
         return False
     if jax.default_backend() != "tpu":
         return False
     if "baseg" not in level or level.baseg.dtype != jnp.float32:
         return False
     B, N, M = level.interior.shape
-    return zebra_supported(B, N + 2, M + 2) and pallas_service_ok()
+    if not zebra_supported(B, N + 2, M + 2):
+        return False
+    if gate == "1":
+        return True
+    return pallas_service_ok() and zebra_kernel_ok(zebra_variant())
 
 
 def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij", glue_fn=None):
     """Pallas-fused zebra pass: one kernel launch per (direction, color)
     half-sweep instead of ~50 XLA ops (ops/zebra.py)."""
-    from ..ops.zebra import zebra_pass
+    from ..ops.zebra import zebra_pass, zebra_variant
 
     B, N, M = level.interior.shape
     dt = r.dtype
@@ -515,7 +537,8 @@ def _smooth_glued_pallas(level: MGLevel, r, z, directions="ij", glue_fn=None):
         sel = mask * jnp.where(odd == par, 1.0, 0.0)
         zx, zy = zebra_pass(bx, by, cfp, cfq, dl, d, du, mask, sel,
                             rx, ry, zg[..., 0], zg[..., 1], axis=axis,
-                            use_pallas=jax.default_backend() == "tpu")
+                            use_pallas=jax.default_backend() == "tpu",
+                            variant=zebra_variant())
         z = jnp.stack([zx[:, 1:-1, 1:-1], zy[:, 1:-1, 1:-1]], axis=-1)
         # the glue wrote master values into slave rows of zg; corrections
         # live on smoothed rows only (the glue re-syncs them each apply)
