@@ -651,17 +651,17 @@ class ShardedSmoother:
                 return M_inv(diag_field * V)
 
             tol2 = jnp.maximum(rtol * jnp.sqrt(pdot(b, b)), atol)
-            delta, rn = restarted_fgmres(
+            delta, rn, nrestarts = restarted_fgmres(
                 A_s, inv_row * b, M_inv_s, dot=pdot,
                 rtol=rtol, atol=atol, restart=restart,
                 max_restarts=max_restarts,
-                w2=diag_field, tol2=tol2,
+                w2=diag_field, tol2=tol2, return_restarts=True,
             )
 
             X1 = baseXl + jnp.where(free_mask, delta, 0.0)
             VS1 = exchange_S(X1.reshape(-1, 2))
             X1 = substitute(q, X1, VS1, with_offsets=True)
-            return X1, rn
+            return X1, rn, nrestarts
 
         plan_leaves = dataclasses.asdict(self.shard_plan)
         plan_leaves["cseg"] = self.cseg
@@ -688,7 +688,7 @@ class ShardedSmoother:
         @partial(jax.shard_map, mesh=self.jmesh,
                  in_specs=(spec_state, spec_state, spec_state,
                            spec_state, P("b"), mg_specs),
-                 out_specs=(spec_state, P()),
+                 out_specs=(spec_state, P(), P()),
                  check_vma=False)
         def run(X, cf, im, fm, pl, mg_masks):
             q = {k: v[0] for k, v in pl.items()}  # this device's plan slice
@@ -717,10 +717,14 @@ class ShardedSmoother:
         Xp.reshape(-1, 2)[: self.base_plan.B * N * M][self.scatter_idx] = coords
         cfp = np.zeros((B * N * M, 2))
         cfp.reshape(-1, 2)[: self.base_plan.B * N * M][self.scatter_idx] = cf
-        Xout, rn = self._solve_jit(
+        Xout, rn, nrestarts = self._solve_jit(
             jnp.asarray(Xp.reshape(B, N, M, 2)),
             jnp.asarray(cfp.reshape(B, N, M, 2)),
         )
         self.last_linear_residual = float(rn)
+        #: FGMRES restart cycles of the last solve (iterations =
+        #: restarts * restart) — the multi-chip scaling artifact records
+        #: this staying flat as n_devices grows
+        self.last_restarts = int(nrestarts)
         out = np.asarray(Xout).reshape(-1, 2)
         return out[: self.base_plan.B * N * M][self.scatter_idx]

@@ -87,7 +87,7 @@ def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
 
 
 def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts,
-                     w2=None, tol2=None):
+                     w2=None, tol2=None, return_restarts=False):
     """Flexible restarted GMRES (FGMRES, Saad 1993): stores the
     preconditioned directions Z_k = M_inv(V_k) and forms the update from
     Z, so M_inv may vary between applications — required when the
@@ -159,9 +159,11 @@ def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts,
         return (i + 1, x, rn, not_done(r, rn))
 
     x0 = jnp.zeros_like(b)
-    _, x, rn, _ = jax.lax.while_loop(
+    i, x, rn, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(0), x0, jnp.asarray(jnp.inf, b.dtype),
                      jnp.asarray(True)))
+    if return_restarts:
+        return x, rn, i
     return x, rn
 
 
