@@ -35,6 +35,12 @@ jax.config.update("jax_enable_x64", True)
 TARGET = 1e-10           # BASELINE.md: displacement-norm residual target
 ORACLE_MAX = 4           # largest scale the host splu oracle runs at
 WALL_CAP_S = 1500.0      # per-scale cap on the run-to-target loop
+# scales >= this run the staged granularity up front: the fused f64
+# program's compile time grows superlinearly with mesh size on the
+# tunneled runtime (52 s at scale 2 round 2; ~294 s round 3; the
+# compiler crashes outright near 5M nodes) while the staged f32 inner
+# program compiles several times faster
+STAGED_MIN = int(os.environ.get("TURBOMESH_BENCH_STAGED_MIN", "8"))
 
 
 def build_mesh(scale_cells: int = 4):
@@ -75,6 +81,10 @@ def bench_scale(scale: int, picard_cap: int, oracle: bool):
     from turbomesh_tpu.smoothing.system import SparseSystem
 
     rec = {"scale_cells": scale}
+    if scale >= STAGED_MIN:
+        os.environ["TURBOMESH_FUSED_SOLVE"] = "0"
+    else:
+        os.environ.pop("TURBOMESH_FUSED_SOLVE", None)
     t0 = time.perf_counter()
     mesh = build_mesh(scale)
     rec["nodes"] = n = mesh.num_points
@@ -157,6 +167,9 @@ def main(scales, picard_cap: int = 30):
         try:
             sweep.append(bench_scale(s, picard_cap, oracle=s <= ORACLE_MAX))
         except Exception as e:  # record partial sweeps honestly
+            import traceback
+
+            traceback.print_exc()  # full context to stderr for diagnosis
             sweep.append({"scale_cells": s,
                           "error": str(e).splitlines()[0][:200]})
             break
