@@ -181,7 +181,8 @@ class ShardedSmoother:
         self._build_glue_plans()
 
         self.jmesh = JMesh(np.array(devices), ("b",))
-        self._solve_jit = jax.jit(self._make_solver())
+        from ..smoothing.device import device_jit
+        self._solve_jit = device_jit(self._make_solver())
 
     # ------------------------------------------------------------------ plans
 

@@ -350,4 +350,5 @@ def make_device_update(algorithm, mesh, plan):
             cf = cf.at[0, 0, :nj0, 1].set(factor0 * q_)
         return cf
 
-    return jax.jit(update)
+    from .device import device_jit
+    return device_jit(update)

@@ -42,6 +42,27 @@ DEFAULT_ATOL = 1e-8
 DEFAULT_MAX_ITERS = 1000
 
 
+def device_jit(fn, **kw):
+    """jax.jit with XLA's ``constant_folding`` HLO pass disabled.
+
+    The device programs embed large constant index plans (gather/scatter
+    maps, per-level multigrid masks); XLA's constant folder evaluates
+    whole constant subgraphs at compile time, which dominates compile
+    latency at scale (measured: the staged inner program at 25k nodes
+    compiles in 350 s without the pass vs 1390 s with it — 4x) and is
+    implicated in the remote-compiler crash at >5M nodes. The folded
+    work is O(plan size) once per call at runtime — noise next to the
+    Krylov iteration. ``TURBOMESH_CONSTFOLD=1`` restores the default
+    pass pipeline.
+    """
+    if os.environ.get("TURBOMESH_CONSTFOLD") == "1":
+        return jax.jit(fn, **kw)
+    return jax.jit(
+        fn,
+        compiler_options={"xla_disable_hlo_passes": "constant_folding"},
+        **kw)
+
+
 @dataclasses.dataclass
 class DevicePlan:
     """Static (host-precomputed) index plan, all indices into the padded
@@ -310,18 +331,18 @@ class DeviceSmoother:
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
         self._glue = build_glue(mesh, info, p.N, p.M,
                                 n_levels=self.mg_opts["n_levels"])
-        self._solve_jit = jax.jit(self._solve_impl)
-        self._jit_base = jax.jit(self._stage_base)
-        self._jit_sub = jax.jit(self._stage_sub)
-        self._jit_affine = jax.jit(self._stage_affine)
-        self._jit_apply64 = jax.jit(self._stage_apply64)
-        self._jit_prepare32 = jax.jit(self._stage_prepare32)
-        self._jit_inner = jax.jit(self._stage_inner)
-        self._jit_A32 = jax.jit(self._stage_A32)
-        self._jit_Minv = jax.jit(self._stage_Minv)
-        self._jit_Minv_finish = jax.jit(self._stage_Minv_finish)
-        self._jit_vcycle = jax.jit(self._stage_vcycle_interior)
-        self._jit_finish = jax.jit(self._stage_finish)
+        self._solve_jit = device_jit(self._solve_impl)
+        self._jit_base = device_jit(self._stage_base)
+        self._jit_sub = device_jit(self._stage_sub)
+        self._jit_affine = device_jit(self._stage_affine)
+        self._jit_apply64 = device_jit(self._stage_apply64)
+        self._jit_prepare32 = device_jit(self._stage_prepare32)
+        self._jit_inner = device_jit(self._stage_inner)
+        self._jit_A32 = device_jit(self._stage_A32)
+        self._jit_Minv = device_jit(self._stage_Minv)
+        self._jit_Minv_finish = device_jit(self._stage_Minv_finish)
+        self._jit_vcycle = device_jit(self._stage_vcycle_interior)
+        self._jit_finish = device_jit(self._stage_finish)
 
     # -- residual / operator --------------------------------------------------
 
@@ -744,7 +765,7 @@ class DeviceSmoother:
                 "fused solve failed to compile (%s); retrying without "
                 "the Pallas smoother", str(e).splitlines()[0][:120])
             os.environ["TURBOMESH_PALLAS"] = "0"
-            self._solve_jit = jax.jit(self._solve_impl)
+            self._solve_jit = device_jit(self._solve_impl)
             self.granularity = "fused_nopallas"
             try:
                 X1, stats = self._solve_jit(X, C)
