@@ -208,13 +208,9 @@ def test_device_white_update_parity():
 
     # device update on the padded stack
     upd = make_device_update(white, mesh, p)
-    Xpad = np.zeros((p.B * p.N * p.M, 2))
-    Xpad[p.scatter_idx] = coords
-    cfpad = np.zeros((p.B * p.N * p.M, 2))
-    cfpad[p.scatter_idx] = cf
-    C1 = upd(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
-             jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)))
-    cf_dev = np.asarray(C1).reshape(-1, 2)[p.scatter_idx]
+    C1 = upd(jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2)),
+             jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2)))
+    cf_dev = p.unpad_cf(C1)
 
     err = np.abs(cf_dev - cf_host).max()
     assert err < 1e-13, f"device White update mismatch {err:.3e}"

@@ -34,11 +34,8 @@ def _glued_level():
     sm = DeviceSmoother(mesh, info)
     p = sm.plan
     coords = mesh.flat_coords()
-    Xp = np.zeros((p.B * p.N * p.M, 2))
-    Xp[p.scatter_idx] = coords
-    Cp = np.zeros((p.B * p.N * p.M, 2))
-    X = jnp.asarray(Xp.reshape(p.B, p.N, p.M, 2))
-    C = jnp.asarray(Cp.reshape(p.B, p.N, p.M, 2))
+    X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
+    C = jnp.asarray(np.zeros((p.B, p.N, p.M, 2)))
     baseF, _ = sm._jit_base(X, C)
     ctx = sm._jit_prepare32(baseF, C)
     return mg.MGLevel(ctx["mg"][0])

@@ -59,52 +59,61 @@ class Exchange:
 
 
 class _ExchangeBuilder:
+    """Accumulates remote references (vectorized — no per-point Python);
+    slot assignment is deferred to finalize(), which dedupes per
+    (receiving device, ring offset) with one np.unique per group. All
+    positions() calls must precede the single finalize()."""
+
     def __init__(self, D, Bl, N, M):
         self.D, self.Bl, self.N, self.M = D, Bl, N, M
-        self.tables = {}  # (recv_dev, offset) -> {src_local_flat: slot}
+        self._dev, self._off, self._lf = [], [], []
+        self._n = 0
+        self._val_pos = None
 
     def positions(self, own_dev, refs):
         """own_dev: (R,) receiving device per row; refs: (R,) global padded
-        flat indices. Returns (R,) provisional (offset, slot) pairs."""
+        flat indices. Returns (R,) provisional handles for resolve()."""
+        refs = np.asarray(refs, dtype=np.int64).ravel()
+        own_dev = np.broadcast_to(
+            np.asarray(own_dev, dtype=np.int64), refs.shape)
         NM = self.N * self.M
-        out = np.zeros((len(refs), 2), dtype=np.int64)
-        for k, g in enumerate(np.asarray(refs, dtype=np.int64)):
-            d = int(own_dev[k])
-            blk = g // NM
-            s = int(blk) // self.Bl
-            o = (d - s) % self.D
-            lf = int((blk % self.Bl) * NM + g % NM)
-            t = self.tables.setdefault((d, o), {})
-            slot = t.setdefault(lf, len(t))
-            out[k] = (o, slot)
-        return out
+        blk = refs // NM
+        self._dev.append(own_dev.copy())
+        self._off.append((own_dev - blk // self.Bl) % self.D)
+        self._lf.append((blk % self.Bl) * NM + refs % NM)
+        start, self._n = self._n, self._n + len(refs)
+        return np.arange(start, self._n, dtype=np.int64)
 
     def finalize(self):
         D = self.D
-        offsets = sorted({o for (_, o) in self.tables}) or [0]
-        lengths = {o: max((len(self.tables.get((d, o), {})) for d in range(D)),
-                          default=0) or 1 for o in offsets}
-        base, acc = {}, 0
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.empty(0, np.int64))
+        dev, off, lf = cat(self._dev), cat(self._off), cat(self._lf)
+        offsets = sorted(set(off.tolist())) or [0]
+        self._val_pos = np.zeros(len(lf), dtype=np.int64)
+        lengths, base, send_idx, acc = {}, {}, {}, 0
         for o in offsets:
-            base[o] = acc
-            acc += lengths[o]
-        send_idx = {}
-        for o in offsets:
-            buf = np.zeros((D, lengths[o]), dtype=np.int64)
+            sel_o = off == o
+            uniq = [np.unique(lf[sel_o & (dev == d)]) for d in range(D)]
+            L = max((len(u) for u in uniq), default=0) or 1
+            lengths[o], base[o] = L, acc
+            buf = np.zeros((D, L), dtype=np.int64)
             for s in range(D):
-                t = self.tables.get(((s + o) % D, o), {})
-                for lf, slot in t.items():
-                    buf[s, slot] = lf
+                u = uniq[(s + o) % D]
+                buf[s, : len(u)] = u
             send_idx[o] = buf
+            for d in range(D):
+                rows = np.nonzero(sel_o & (dev == d))[0]
+                if len(rows):
+                    self._val_pos[rows] = acc + np.searchsorted(
+                        uniq[d], lf[rows])
+            acc += L
         return Exchange(offsets=offsets, send_idx=send_idx,
                         lengths=lengths, base=base, total=acc)
 
     def resolve(self, ex: Exchange, provisional):
-        """(R, 2) (offset, slot) -> (R,) VAL positions."""
-        out = np.zeros(len(provisional), dtype=np.int64)
-        for k, (o, slot) in enumerate(np.asarray(provisional)):
-            out[k] = ex.base[int(o)] + int(slot)
-        return out
+        """(R,) provisional handles -> (R,) VAL positions."""
+        return self._val_pos[np.asarray(provisional, dtype=np.int64)]
 
 
 @dataclasses.dataclass
@@ -147,7 +156,11 @@ class ShardedSmoother:
         self.rtol, self.atol = rtol, atol
         self.restart, self.max_restarts = restart, max_restarts
 
-        plan = build_plan(mesh, info)
+        # sharded path keeps logical storage (transpose=False): its shard
+        # plans, halo schedules and glue splits are built in the logical
+        # frame; the single-chip DeviceSmoother carries the transposed
+        # layout (see device.build_plan)
+        plan = build_plan(mesh, info, transpose=False)
         self.base_plan = plan
         B0, N, M = plan.B, plan.N, plan.M
         B = ((B0 + D - 1) // D) * D  # pad with dummy blocks

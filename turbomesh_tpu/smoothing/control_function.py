@@ -282,6 +282,25 @@ def make_device_update(algorithm, mesh, plan):
     nj0 = mesh.blocks[0].size[1] if le else 0
     ds_t = algorithm.ds_target
     th_t = algorithm.theta_target
+    # per-block storage transposition (DevicePlan): transposed blocks
+    # store logical (i, j) at [b, j, i] with cf components swapped
+    tr = getattr(plan, "transposed", None)
+    tr = (np.zeros(len(mesh.blocks), dtype=bool) if tr is None else tr)
+
+    def read_block(A, b, ni, nj, is_cf):
+        """Logical-frame (ni, nj, 2) view of block b from the padded
+        stack (coords or cf; cf components swap on transposed blocks)."""
+        if tr[b]:
+            v = jnp.swapaxes(A[b, :nj, :ni, :], 0, 1)
+            return v[..., ::-1] if is_cf else v
+        return A[b, :ni, :nj, :]
+
+    def write_cf_block(cf, b, ni, nj, newb):
+        """Write a logical-frame (ni, nj, 2) cf block back in storage."""
+        if tr[b]:
+            return cf.at[b, :nj, :ni, :].set(
+                jnp.swapaxes(newb[..., ::-1], 0, 1))
+        return cf.at[b, :ni, :nj, :].set(newb)
 
     def _wall_first_derivs(x, y):
         """First xi derivatives along the wall row j=0 (central interior,
@@ -300,7 +319,7 @@ def make_device_update(algorithm, mesh, plan):
 
     def update(X, cf):
         for b, (ni, nj) in wall_blocks:
-            xb = X[b, :ni, :nj, :]
+            xb = read_block(X, b, ni, nj, is_cf=False)
             x = xb[..., 0]
             y = xb[..., 1]
             x_xi, y_xi = _wall_first_derivs(x, y)
@@ -315,23 +334,24 @@ def make_device_update(algorithm, mesh, plan):
             delta_p = -jnp.arctan2(th_t - theta, th_t)
             delta_q = jnp.arctan2(ds_t - ds, ds_t)
 
-            wall = cf[b, :ni, 0, :]
+            wall = read_block(cf, b, ni, nj, is_cf=True)[:, 0, :]
             p = wall[:, 0] + 0.1 * delta_p
             q = wall[:, 1] + 0.1 * delta_q
             factor = 1.0 - jnp.arange(nj, dtype=X.dtype) / (nj - 1.0)
             newb = jnp.stack([p[:, None] * factor[None, :],
                               q[:, None] * factor[None, :]], axis=-1)
-            cf = cf.at[b, :ni, :nj, :].set(newb)
+            cf = write_cf_block(cf, b, ni, nj, newb)
 
         if le:
             # leading-edge junction feedback (block 0 column i=0), reading
             # cf[0,(0,0)] AFTER the wall-block decay fill, like the host path
-            p0 = X[0]
-            p1 = X[1]
-            x_i_j = p0[0, 0]
-            x_ip1_j = p0[1, 0]     # first interior of block 0
-            x_im1_j = p1[1, 0]     # first interior of block 1
-            x_i_jp1 = p0[0, 1]
+            def pt(b, i, j):
+                return (b, j, i) if tr[b] else (b, i, j)
+
+            x_i_j = X[pt(0, 0, 0)]
+            x_ip1_j = X[pt(0, 1, 0)]   # first interior of block 0
+            x_im1_j = X[pt(1, 1, 0)]   # first interior of block 1
+            x_i_jp1 = X[pt(0, 0, 1)]
             # negated central difference (wall_control_function.zig:429-431)
             x_xi = -0.5 * (x_ip1_j[0] - x_im1_j[0])
             y_xi = -0.5 * (x_ip1_j[1] - x_im1_j[1])
@@ -343,11 +363,18 @@ def make_device_update(algorithm, mesh, plan):
             g22 = x_eta * x_eta + y_eta * y_eta
             ds = jnp.sqrt(g22)
             theta = jnp.arccos(g12 / jnp.sqrt(g11 * g22))
-            p_ = cf[0, 0, 0, 0] - 0.1 * jnp.arctan2(th_t - theta, th_t)
-            q_ = cf[0, 0, 0, 1] + 0.1 * jnp.arctan2(ds_t - ds, ds_t)
+            cP, cQ = (1, 0) if tr[0] else (0, 1)  # storage cf components
+            p_ = cf[pt(0, 0, 0) + (cP,)] - 0.1 * jnp.arctan2(
+                th_t - theta, th_t)
+            q_ = cf[pt(0, 0, 0) + (cQ,)] + 0.1 * jnp.arctan2(
+                ds_t - ds, ds_t)
             factor0 = 1.0 - jnp.arange(nj0, dtype=X.dtype) / (nj0 - 1.0)
-            cf = cf.at[0, 0, :nj0, 0].set(factor0 * p_)
-            cf = cf.at[0, 0, :nj0, 1].set(factor0 * q_)
+            if tr[0]:
+                cf = cf.at[0, :nj0, 0, cP].set(factor0 * p_)
+                cf = cf.at[0, :nj0, 0, cQ].set(factor0 * q_)
+            else:
+                cf = cf.at[0, 0, :nj0, cP].set(factor0 * p_)
+                cf = cf.at[0, 0, :nj0, cQ].set(factor0 * q_)
         return cf
 
     from .device import device_jit

@@ -72,6 +72,8 @@ class DevicePlan:
     N: int
     M: int
     scatter_idx: np.ndarray      # (P,) global flat -> padded flat
+    transposed: np.ndarray       # (B,) bool — block stored (j, i)
+    cf_swap: np.ndarray          # (P,) bool — cf components swapped in pad
     interior_mask: np.ndarray    # (B, N, M) bool
     free_mask: np.ndarray        # (B, N, M, 2) bool — solved components
 
@@ -108,25 +110,73 @@ class DevicePlan:
     sl_master: np.ndarray        # (Q,)
     sl_off: np.ndarray           # (Q, 2)
 
+    # -- host<->pad converters (the ONLY correct way to move fields in and
+    # out of the padded stack once per-block transposition is active) ----
 
-def build_plan(mesh, info: BoundaryInfo) -> DevicePlan:
+    def pad_coords(self, coords: np.ndarray) -> np.ndarray:
+        """(P, 2) physical coordinates -> (B*N*M, 2) padded flat."""
+        out = np.zeros((self.B * self.N * self.M, 2))
+        out[self.scatter_idx] = coords
+        return out
+
+    def pad_cf(self, cf: np.ndarray) -> np.ndarray:
+        """(P, 2) logical (P, Q) control function -> padded flat in the
+        STORAGE frame: components swap on transposed blocks so the
+        interior stencil's direction pairing stays correct."""
+        out = np.zeros((self.B * self.N * self.M, 2))
+        out[self.scatter_idx] = np.where(
+            self.cf_swap[:, None], cf[:, ::-1], cf)
+        return out
+
+    def unpad_coords(self, padded) -> np.ndarray:
+        return np.asarray(padded).reshape(-1, 2)[self.scatter_idx]
+
+    def unpad_cf(self, padded) -> np.ndarray:
+        v = np.asarray(padded).reshape(-1, 2)[self.scatter_idx]
+        return np.where(self.cf_swap[:, None], v[:, ::-1], v)
+
+
+def build_plan(mesh, info: BoundaryInfo, transpose: bool = True) -> DevicePlan:
     starts = mesh.block_row_starts()
     sizes = [b.size for b in mesh.blocks]
     B = len(sizes)
-    N = max(s[0] for s in sizes)
-    M = max(s[1] for s in sizes)
 
-    # global flat -> padded flat
+    # Per-block storage transposition: store wide blocks (nj > ni)
+    # transposed so every block is "tall" before padding to the common
+    # (N, M). The O4H family mixes shapes like (441, 81) and (21, 261);
+    # padding those untransposed costs 9.4x the real point count in
+    # memory AND stencil FLOPs (measured scale 2), and the padded stack
+    # at scale 8 (~14.7M padded points for 1.5M real) crashes the TPU
+    # worker. The Winslow interior stencil is exactly invariant under
+    # (i, j) swap with (P, Q) swapped (control-function components are
+    # stored storage-frame in the padded cf; see pad_cf), and all
+    # boundary-row equations are built from global-id gathers, so parity
+    # with the untransposed oracle is preserved to solver tolerance.
+    transposed = (np.array([nj > ni for ni, nj in sizes], dtype=bool)
+                  if transpose else np.zeros(B, dtype=bool))
+    sizes_st = [(nj, ni) if t else (ni, nj)
+                for (ni, nj), t in zip(sizes, transposed)]
+    N = max(s[0] for s in sizes_st)
+    M = max(s[1] for s in sizes_st)
+
+    # global flat -> padded flat (storage frame)
     scatter_idx = np.empty(mesh.num_points, dtype=np.int64)
+    cf_swap = np.zeros(mesh.num_points, dtype=bool)
     for b, ((ni, nj), s) in enumerate(zip(sizes, starts)):
         ii, jj = np.meshgrid(np.arange(ni), np.arange(nj), indexing="ij")
-        scatter_idx[s : s + ni * nj] = (b * N * M + ii * M + jj).reshape(-1)
+        if transposed[b]:
+            scatter_idx[s : s + ni * nj] = (
+                b * N * M + jj * M + ii).reshape(-1)
+            cf_swap[s : s + ni * nj] = True
+        else:
+            scatter_idx[s : s + ni * nj] = (
+                b * N * M + ii * M + jj).reshape(-1)
 
     def to_pad(global_ids: np.ndarray) -> np.ndarray:
         return scatter_idx[global_ids]
 
     interior_mask = np.zeros((B, N, M), dtype=bool)
-    for b, (ni, nj) in enumerate(sizes):
+    for b, (ni, nj) in enumerate(sizes_st):
         interior_mask[b, 1 : ni - 1, 1 : nj - 1] = True
 
     kind_pad = np.zeros(B * N * M, dtype=np.int8)
@@ -161,7 +211,12 @@ def build_plan(mesh, info: BoundaryInfo) -> DevicePlan:
         cd1p.append(to_pad(g1 + cm.cs1 + cm.fis1))
         pi = np.zeros(2) if cm.periodicity is None else cm.periodicity
         cpi.append(np.broadcast_to(pi, (len(g0), 2)))
-        cswap.append(np.full(len(g0), cm.periodicity is None))
+        # the padded cf stores storage-frame components (swapped on
+        # transposed blocks), while the reference's argument-order quirk
+        # selects logical components — XOR the two swaps
+        b0 = int(np.searchsorted(starts, cm.g0[0], side="right") - 1)
+        cswap.append(np.full(len(g0),
+                             (cm.periodicity is None) ^ bool(transposed[b0])))
 
     # segment table: one row per connection chain in the concatenated arrays
     seg_lens = [len(x) for x in cr]
@@ -199,6 +254,8 @@ def build_plan(mesh, info: BoundaryInfo) -> DevicePlan:
     return DevicePlan(
         B=B, N=N, M=M,
         scatter_idx=scatter_idx,
+        transposed=transposed,
+        cf_swap=cf_swap,
         interior_mask=interior_mask,
         free_mask=free.reshape(B, N, M, 2),
         c_row=cat(cr), c_g0m=cat(cg0m), c_g0p=cat(cg0p),
@@ -282,7 +339,11 @@ class DeviceSmoother:
                  max_iters: int | None = None, max_refine: int = 20,
                  mg_opts: dict | None = None):
         self.plan = build_plan(mesh, info)
-        self._block_sizes = [b.size for b in mesh.blocks]
+        # STORAGE-frame block extents (transposed blocks store (nj, ni))
+        self._block_sizes = [
+            (nj, ni) if t else (ni, nj)
+            for (ni, nj), t in zip((b.size for b in mesh.blocks),
+                                   self.plan.transposed)]
         self._mesh = mesh
         self._info = info
         self._oracle = None
@@ -330,7 +391,8 @@ class DeviceSmoother:
 
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
         self._glue = build_glue(mesh, info, p.N, p.M,
-                                n_levels=self.mg_opts["n_levels"])
+                                n_levels=self.mg_opts["n_levels"],
+                                transposed=p.transposed)
         self._solve_jit = device_jit(self._solve_impl)
         self._jit_base = device_jit(self._stage_base)
         self._jit_sub = device_jit(self._stage_sub)
@@ -738,13 +800,8 @@ class DeviceSmoother:
         from .krylov import _warn_nonconverged
 
         p = self.plan
-        Xpad = np.zeros((p.B * p.N * p.M, 2))
-        Xpad[p.scatter_idx] = coords
-        cfpad = np.zeros((p.B * p.N * p.M, 2))
-        cfpad[p.scatter_idx] = cf
-
-        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
-        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+        X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
         def _compile_failure(e) -> bool:
             return "Mosaic" in str(e) or "remote_compile" in str(e)
@@ -783,7 +840,7 @@ class DeviceSmoother:
                                self.restart * self.max_restarts, rn,
                                self.atol)
         self.last_linear_residual = rn
-        return np.asarray(X1).reshape(-1, 2)[p.scatter_idx]
+        return p.unpad_coords(X1)
 
     def run(self, coords: np.ndarray, cf: np.ndarray, iterations: int,
             algorithm=None, start_iteration: int = 0,
@@ -828,17 +885,11 @@ class DeviceSmoother:
         upd = (make_device_update(algorithm, self._mesh, p)
                if algorithm is not None else None)
 
-        Xpad = np.zeros((p.B * p.N * p.M, 2))
-        Xpad[p.scatter_idx] = coords
-        cfpad = np.zeros((p.B * p.N * p.M, 2))
-        cfpad[p.scatter_idx] = cf
-        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
-        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+        X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
         def to_host(Xdev, Cdev):
-            c = np.asarray(Xdev).reshape(-1, 2)[p.scatter_idx]
-            f = np.asarray(Cdev).reshape(-1, 2)[p.scatter_idx]
-            return c, f
+            return p.unpad_coords(Xdev), p.unpad_cf(Cdev)
 
         disp = np.inf
         n_done = start_iteration
@@ -922,12 +973,8 @@ class DeviceSmoother:
                             if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
                             else "staged")
         p = self.plan
-        Xpad = np.zeros((p.B * p.N * p.M, 2))
-        Xpad[p.scatter_idx] = coords
-        cfpad = np.zeros((p.B * p.N * p.M, 2))
-        cfpad[p.scatter_idx] = cf
-        X = jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2))
-        C = jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2))
+        X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
         baseF, b = self._jit_base(X, C)
         ctx = self._jit_prepare32(baseF, C)
@@ -983,11 +1030,9 @@ class DeviceSmoother:
         diag = op.row_diag()
         inv_diag = 1.0 / diag
 
-        # fused TPU V-cycle at the frozen base (f32)
-        Xpad = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
-        Xpad[p.scatter_idx] = base
-        cfpad = np.zeros((p.B * p.N * p.M, 2), dtype=np.float32)
-        cfpad[p.scatter_idx] = cf
+        # fused TPU V-cycle at the frozen base (f32, storage frame)
+        Xpad = p.pad_coords(base).astype(np.float32)
+        cfpad = p.pad_cf(cf).astype(np.float32)
         levels = build_levels(jnp.asarray(Xpad.reshape(p.B, p.N, p.M, 2)),
                               jnp.asarray(cfpad.reshape(p.B, p.N, p.M, 2)),
                               self._block_sizes)

@@ -76,32 +76,44 @@ def _decode_shift(shift: int, nj: int):
 
 
 def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
-               min_size: int = 5, n_levels: int | None = None):
+               min_size: int = 5, n_levels: int | None = None,
+               transposed=None):
     """Build per-level glue maps + smooth masks for the padded stack.
 
     Returns a list of GlueLevel, finest first, with the same ladder the
     multigrid uses ((n-1)//2+1 coarsening of the padded dims).
+
+    ``transposed``: optional (B,) bool from DevicePlan — blocks stored
+    (j, i) in the padded stack. All positions/lattices below are in the
+    STORAGE frame; decode handles the logical->storage swap.
     """
-    sizes = [b.size for b in mesh.blocks]
-    B = len(sizes)
+    sizes_log = [b.size for b in mesh.blocks]
+    B = len(sizes_log)
+    if transposed is None:
+        transposed = np.zeros(B, dtype=bool)
+    sizes = [(nj, ni) if t else (ni, nj)
+             for (ni, nj), t in zip(sizes_log, transposed)]  # storage
     starts = mesh.block_row_starts()
     kind = info.kind
-    sizes_j = np.array([nj for _, nj in sizes], dtype=np.int64)
+    sizes_j_log = np.array([nj for _, nj in sizes_log], dtype=np.int64)
 
     def decode_global(g):
-        """global flat id -> (block, i, j)"""
+        """global flat id -> (block, i, j) in the STORAGE frame"""
         b = int(np.searchsorted(starts, g, side="right") - 1)
         r = int(g - starts[b])
-        nj = sizes[b][1]
-        return b, r // nj, r % nj
+        nj = sizes_log[b][1]
+        i, j = r // nj, r % nj
+        return (b, j, i) if transposed[b] else (b, i, j)
 
     def decode_global_vec(g):
-        """vectorized decode: (G,) global flat ids -> (b, i, j) arrays"""
+        """vectorized decode: (G,) global ids -> storage (b, i, j)"""
         g = np.asarray(g, dtype=np.int64)
         b = np.searchsorted(starts, g, side="right") - 1
         r = g - np.asarray(starts)[b]
-        nj = sizes_j[b]
-        return b, r // nj, r % nj
+        nj = sizes_j_log[b]
+        i, j = r // nj, r % nj
+        t = transposed[b]
+        return b, np.where(t, j, i), np.where(t, i, j)
 
     # per-level sampled fine indices per block + padded dims
     ii = [np.arange(ni) for ni, nj in sizes]
@@ -126,7 +138,10 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
         smooth = np.zeros((B, Nl, Ml), dtype=bool)
         for b in range(B):
             ni, nj = sizes[b]
-            kb = kind[starts[b] : starts[b] + ni * nj].reshape(ni, nj)
+            ni_l, nj_l = sizes_log[b]
+            kb = kind[starts[b] : starts[b] + ni_l * nj_l].reshape(ni_l, nj_l)
+            if transposed[b]:
+                kb = kb.T
             ks = kb[np.ix_(ii[b], jj[b])]
             ok = (ks == Kind.INTERIOR) | (ks == Kind.SMOOTHED)
             # the [::2]-per-level lattice loses the block's far boundary
@@ -167,11 +182,16 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
         for cm in info.conn_meta:
             b0, i00, j00 = decode_global(int(cm.g0[0]))
             b1, i10, j10 = decode_global(int(cm.g1[0]))
-            nj0, nj1 = sizes[b0][1], sizes[b1][1]
-            di_f0, dj_f0 = _decode_shift(cm.fis0, nj0)   # into block 0
-            di_f1, dj_f1 = _decode_shift(cm.fis1, nj1)   # into block 1
-            di_c0, dj_c0 = _decode_shift(cm.cs0, nj0)    # along face, side 0
-            di_c1, dj_c1 = _decode_shift(cm.cs1, nj1)
+            nj0, nj1 = sizes_log[b0][1], sizes_log[b1][1]
+
+            def shift_st(shift, nj, b):
+                di, dj = _decode_shift(shift, nj)
+                return (dj, di) if transposed[b] else (di, dj)
+
+            di_f0, dj_f0 = shift_st(cm.fis0, nj0, b0)   # into block 0
+            di_f1, dj_f1 = shift_st(cm.fis1, nj1, b1)   # into block 1
+            di_c0, dj_c0 = shift_st(cm.cs0, nj0, b0)    # along face, side 0
+            di_c1, dj_c1 = shift_st(cm.cs1, nj1, b1)
             pi = (np.zeros(2) if cm.periodicity is None
                   else np.asarray(cm.periodicity, dtype=np.float64))
             L = len(cm.g0)
