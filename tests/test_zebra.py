@@ -36,8 +36,8 @@ def _glued_level():
     coords = mesh.flat_coords()
     X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
     C = jnp.asarray(np.zeros((p.B, p.N, p.M, 2)))
-    baseF, _ = sm._jit_base(X, C)
-    ctx = sm._jit_prepare32(baseF, C)
+    baseF, _ = sm._jit_base(sm._plans_arg, X, C)
+    ctx = sm._jit_prepare32(sm._plans_arg, baseF, C)
     return mg.MGLevel(ctx["mg"][0])
 
 

@@ -388,23 +388,65 @@ class DeviceSmoother:
         self._jnp_plan32 = jax.tree.map(_to32, self._jnp_plan)
         # static inter-block glue maps for the glued multigrid hierarchy
         from .glue import build_glue
+        from .multigrid import prep_glue_arrays
 
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
         self._glue = build_glue(mesh, info, p.N, p.M,
                                 n_levels=self.mg_opts["n_levels"],
                                 transposed=p.transposed)
-        self._solve_jit = device_jit(self._solve_impl)
-        self._jit_base = device_jit(self._stage_base)
-        self._jit_sub = device_jit(self._stage_sub)
-        self._jit_affine = device_jit(self._stage_affine)
-        self._jit_apply64 = device_jit(self._stage_apply64)
-        self._jit_prepare32 = device_jit(self._stage_prepare32)
-        self._jit_inner = device_jit(self._stage_inner)
-        self._jit_A32 = device_jit(self._stage_A32)
-        self._jit_Minv = device_jit(self._stage_Minv)
-        self._jit_Minv_finish = device_jit(self._stage_Minv_finish)
-        self._jit_vcycle = device_jit(self._stage_vcycle_interior)
-        self._jit_finish = device_jit(self._stage_finish)
+        self._glue_dev = prep_glue_arrays(self._glue)
+        # Every jitted program takes this pytree of device buffers as its
+        # leading argument. Closing over the plan instead would bake the
+        # index maps / masks / glue tables into the HLO as literals; the
+        # literal payload grows with mesh size, dominates compile latency
+        # (round-2: 350 s for the 25k-node staged inner program) and
+        # crashes the remote TPU compiler at multi-million-node scale
+        # (round-3 probe: prepare32 at 4.5M padded points killed the
+        # worker). As arguments the HLO is mesh-size-independent.
+        self._plans_arg = dict(p64=self._jnp_plan, p32=self._jnp_plan32,
+                               glue=self._glue_dev)
+        self._solve_jit = self._swap_jit(self._solve_impl)
+        self._jit_base = self._swap_jit(self._stage_base)
+        self._jit_sub = self._swap_jit(self._stage_sub)
+        self._jit_affine = self._swap_jit(self._stage_affine)
+        self._jit_apply64 = self._swap_jit(self._stage_apply64)
+        self._jit_prepare32 = self._swap_jit(self._stage_prepare32)
+        self._jit_inner = self._swap_jit(self._stage_inner)
+        self._jit_A32 = self._swap_jit(self._stage_A32)
+        self._jit_Minv = self._swap_jit(self._stage_Minv)
+        self._jit_Minv_finish = self._swap_jit(self._stage_Minv_finish)
+        self._jit_vcycle = self._swap_jit(self._stage_vcycle_interior)
+        self._jit_finish = self._swap_jit(self._stage_finish)
+
+    def _swap_wrap(self, fn):
+        """Wrap ``fn`` to take the plan/glue pytrees as its leading
+        ARGUMENT: while the wrapper runs (i.e. during tracing) the
+        instance attributes are swapped to the passed pytrees, so every
+        ``self._jnp_plan*``/``self._glue_dev`` read inside ``fn`` sees an
+        argument tracer rather than a concrete array (which jit would
+        otherwise embed as an HLO literal)."""
+
+        def wrapped(plans, *args):
+            saved = (self._jnp_plan, self._jnp_plan32, self._glue_dev)
+            self._jnp_plan = plans["p64"]
+            self._jnp_plan32 = plans["p32"]
+            self._glue_dev = plans["glue"]
+            try:
+                return fn(*args)
+            finally:
+                (self._jnp_plan, self._jnp_plan32,
+                 self._glue_dev) = saved
+
+        return wrapped
+
+    def _swap_jit(self, fn):
+        return device_jit(self._swap_wrap(fn))
+
+    def solve_program(self):
+        """(jittable_fn, plans_pytree) for the fused linearized-solve
+        program: ``fn(plans, Xpad, cf_pad) -> (X1, stats)`` with the
+        index plans as runtime arguments (AOT compile checks)."""
+        return self._swap_wrap(self._solve_impl), self._plans_arg
 
     # -- residual / operator --------------------------------------------------
 
@@ -623,7 +665,7 @@ class DeviceSmoother:
             ch = (z, z, z)
         from .multigrid import build_glued_levels
 
-        levels = build_glued_levels(baseX32, cf32, self._glue)
+        levels = build_glued_levels(baseX32, cf32, self._glue_dev)
         return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
                     lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
                     mg=[dict(lv) for lv in levels])
@@ -751,7 +793,7 @@ class DeviceSmoother:
         # per-piece jits on runtimes where the large program fails.
         fused = os.environ.get("TURBOMESH_FUSED_INNER", "1") == "1"
         if fused:
-            return self._jit_inner(ctx, C, rpad)
+            return self._jit_inner(self._plans_arg, ctx, C, rpad)
 
         p = self.plan
         B, N, M = p.B, p.N, p.M
@@ -760,12 +802,12 @@ class DeviceSmoother:
         inv_row = 1.0 / row_diag
 
         def A_s(v):
-            return inv_row * self._jit_A32(ctx, v)
+            return inv_row * self._jit_A32(self._plans_arg, ctx, v)
 
         def M_s(v):
             vflat = row_diag * v
-            z = self._jit_vcycle(ctx, vflat).reshape(B, N, M, 2)
-            return self._jit_Minv_finish(ctx, vflat, z)
+            z = self._jit_vcycle(self._plans_arg, ctx, vflat).reshape(B, N, M, 2)
+            return self._jit_Minv_finish(self._plans_arg, ctx, vflat, z)
 
         r32 = inv_row * rpad.astype(jnp.float32)
         d32, _ = host_gmres(A_s, M_s, r32, rtol=1e-6, atol=0.0,
@@ -810,7 +852,7 @@ class DeviceSmoother:
 
         log = logging.getLogger("turbomesh.device")
         try:
-            X1, stats = self._solve_jit(X, C)
+            X1, stats = self._solve_jit(self._plans_arg, X, C)
         except Exception as e:  # noqa: BLE001 — compile-service fallback
             if not _compile_failure(e):
                 raise
@@ -825,7 +867,7 @@ class DeviceSmoother:
             self._solve_jit = device_jit(self._solve_impl)
             self.granularity = "fused_nopallas"
             try:
-                X1, stats = self._solve_jit(X, C)
+                X1, stats = self._solve_jit(self._plans_arg, X, C)
             except Exception as e2:  # noqa: BLE001
                 if not _compile_failure(e2):
                     raise
@@ -898,7 +940,7 @@ class DeviceSmoother:
             if n > 0 and upd is not None:
                 C = upd(X, C)
             try:
-                X, stats = self._solve_jit(X, C)
+                X, stats = self._solve_jit(self._plans_arg, X, C)
             except Exception as e:  # noqa: BLE001 — degrade to solve()'s chain
                 if not ("Mosaic" in str(e) or "remote_compile" in str(e)):
                     raise
@@ -976,8 +1018,8 @@ class DeviceSmoother:
         X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
         C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
-        baseF, b = self._jit_base(X, C)
-        ctx = self._jit_prepare32(baseF, C)
+        baseF, b = self._jit_base(self._plans_arg, X, C)
+        ctx = self._jit_prepare32(self._plans_arg, baseF, C)
         bnorm = float(jnp.linalg.norm(b))
         tol = max(self.rtol * bnorm, self.atol)
 
@@ -1002,14 +1044,14 @@ class DeviceSmoother:
                 self.granularity = "staged_hostinner"
                 d = self._inner_solve(ctx, C, r)
             x = x + jnp.where(free64, d, 0.0)
-            r = b - self._jit_apply64(baseF, C, x)
+            r = b - self._jit_apply64(self._plans_arg, baseF, C, x)
             rn = float(jnp.linalg.norm(r))  # scalar d2h per pass
             k += 1
         if rn > tol:
             _warn_nonconverged("device refinement", k, rn, tol)
         self.last_linear_residual = rn
 
-        X1 = self._jit_finish(baseF, x)
+        X1 = self._jit_finish(self._plans_arg, baseF, x)
         return np.asarray(X1)[p.scatter_idx]
 
     def _solve_host_krylov(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:

@@ -322,46 +322,73 @@ def make_fused_vcycle(levels, pre=1, post=1, coarse_iters=4):
 # ---------------------------------------------------------------------------
 
 
+def prep_glue_arrays(glue_levels):
+    """One-time host-side conversion of glue.GlueLevel records into the
+    combined per-level device arrays build_glued_levels consumes.
+
+    The point of materializing these OUTSIDE the jitted programs is that
+    callers can then pass them as jit ARGUMENTS (a pytree of device
+    buffers) instead of closure constants: a closed-over array is baked
+    into the HLO as a literal, and at multi-million-node scale those
+    literals dominate compile latency and crash the remote TPU compiler
+    outright (measured round 3: prepare32 at 4.5M padded points kills
+    the TPU worker; with plans-as-arguments the HLO is mesh-size-
+    independent). The dedup below keeps the correction glue a single
+    scatter with no write-order ambiguity (sliding entries win over
+    plain copies on the same destination)."""
+    out = []
+    for gl in glue_levels:
+        taken = set(gl.cdst.tolist()) | set(gl.jdst.tolist())
+        keep = np.array([d not in taken for d in gl.dst], dtype=bool) \
+            if len(gl.dst) else np.zeros(0, dtype=bool)
+        ga_src = np.concatenate([gl.src[keep], gl.csrc])
+        ga_dst = np.concatenate([gl.dst[keep], gl.cdst])
+        ga_w = np.concatenate([np.ones((int(keep.sum()), 2)), gl.cw])
+        out.append(MGLevel(
+            smooth_mask=jnp.asarray(gl.smooth_mask),
+            gsrc=jnp.asarray(gl.src.astype(np.int32)),
+            gdst=jnp.asarray(gl.dst.astype(np.int32)),
+            goff=jnp.asarray(gl.off),
+            gcsrc=jnp.asarray(ga_src.astype(np.int32)),
+            gcdst=jnp.asarray(ga_dst.astype(np.int32)),
+            gcw=jnp.asarray(ga_w),
+            gjdst=jnp.asarray(gl.jdst.astype(np.int32)),
+            gjsrc=jnp.asarray(gl.jsrc.astype(np.int32)),
+            gjw=jnp.asarray(gl.jw),
+        ))
+    return out
+
+
 def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
     """Build the glued hierarchy. base/cf: (B, N, M, 2) padded stacks
-    (finest); glue_levels: list[glue.GlueLevel] (host-static). Level
-    fields are ghost-augmented where needed; stencil coefficients use the
-    GLUED base so face-row equations couple across blocks.
+    (finest); glue_levels: list of prep_glue_arrays dicts (possibly
+    traced jit arguments) or of glue.GlueLevel records (host-static,
+    converted on the fly — these bake into the program as constants, so
+    jitted callers should pre-convert). Level fields are ghost-augmented
+    where needed; stencil coefficients use the GLUED base so face-row
+    equations couple across blocks.
 
     glue_fns: optional per-level callables ``fn(v, coord_field) ->
     ghost-augmented array`` replacing the local gather glue — used by the
     sharded path where some glue entries cross devices (ppermute).
     masks: optional per-level smooth masks overriding gl.smooth_mask
     (per-device slices inside shard_map)."""
+    if glue_fns is None and glue_levels \
+            and not isinstance(glue_levels[0], dict):
+        glue_levels = prep_glue_arrays(glue_levels)
     levels = []
     for lvl, gl in enumerate(glue_levels):
         if lvl > 0:
             base = base[:, ::2, ::2, :]
             cf = cf[:, ::2, ::2, :]
-        mask = jnp.asarray(gl.smooth_mask) if masks is None else masks[lvl]
+        mask = gl["smooth_mask"] if masks is None else masks[lvl]
         if glue_fns is None:
-            src = jnp.asarray(gl.src.astype(np.int32))
-            dst = jnp.asarray(gl.dst.astype(np.int32))
-            off = jnp.asarray(gl.off, dtype=base.dtype)
-            # correction-field glue as ONE combined copy map (ghost +
-            # slave + sliding entries, statically deduplicated so the
-            # single scatter has no write-order ambiguity: sliding
-            # entries win over plain copies on the same destination) +
-            # the junction neighbor-mean rows. One gather + one scatter
-            # per application — the per-stage scatters of the first
-            # round-3 cut quadrupled XLA compile time.
-            taken = set(gl.cdst.tolist()) | set(gl.jdst.tolist())
-            keep = np.array([d not in taken for d in gl.dst], dtype=bool) \
-                if len(gl.dst) else np.zeros(0, dtype=bool)
-            ga_src = np.concatenate([gl.src[keep], gl.csrc])
-            ga_dst = np.concatenate([gl.dst[keep], gl.cdst])
-            ga_w = np.concatenate([np.ones((int(keep.sum()), 2)), gl.cw])
-            csrc = jnp.asarray(ga_src.astype(np.int32))
-            cdst = jnp.asarray(ga_dst.astype(np.int32))
-            cw = jnp.asarray(ga_w, dtype=base.dtype)
-            jdst = jnp.asarray(gl.jdst.astype(np.int32))
-            jsrc = jnp.asarray(gl.jsrc.astype(np.int32))
-            jw = jnp.asarray(gl.jw, dtype=base.dtype)
+            src, dst = gl["gsrc"], gl["gdst"]
+            off = gl["goff"].astype(base.dtype)
+            csrc, cdst = gl["gcsrc"], gl["gcdst"]
+            cw = gl["gcw"].astype(base.dtype)
+            jdst, jsrc = gl["gjdst"], gl["gjsrc"]
+            jw = gl["gjw"].astype(base.dtype)
         else:
             src = dst = jnp.zeros((0,), jnp.int32)
             off = jnp.zeros((0, 2), base.dtype)
