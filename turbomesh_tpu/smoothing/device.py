@@ -42,6 +42,41 @@ DEFAULT_ATOL = 1e-8
 DEFAULT_MAX_ITERS = 1000
 
 
+def _setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache for the device programs.
+
+    The fused device programs are compile-heavy (the scale-8 / 1.5M-node
+    inner GMRES takes ~7 min through the tunneled remote compiler) but
+    byte-stable across processes once index plans are jit *arguments*
+    (not HLO constants): repeat runs at the same padded shape hit the
+    cache and skip compilation entirely (measured: 407 s -> sub-second).
+    Cache location: $TURBOMESH_JAX_CACHE, else <repo>/.jax_cache when
+    running from a checkout, else ~/.cache/turbomesh_tpu/jax.
+    Only programs that took >= 2 s to compile are stored, so the cache
+    stays small. TURBOMESH_JAX_CACHE=0 disables.
+    """
+    loc = os.environ.get("TURBOMESH_JAX_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        import pathlib
+
+        repo = pathlib.Path(__file__).resolve().parents[2]
+        if (repo / "pyproject.toml").exists():
+            loc = str(repo / ".jax_cache")
+        else:
+            loc = os.path.expanduser("~/.cache/turbomesh_tpu/jax")
+    try:
+        os.makedirs(loc, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", loc)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
+
+
+_setup_compilation_cache()
+
+
 def device_jit(fn, **kw):
     """jax.jit with XLA's ``constant_folding`` HLO pass disabled.
 
