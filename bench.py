@@ -35,12 +35,6 @@ jax.config.update("jax_enable_x64", True)
 TARGET = 1e-10           # BASELINE.md: displacement-norm residual target
 ORACLE_MAX = 4           # largest scale the host splu oracle runs at
 WALL_CAP_S = 1500.0      # per-scale cap on the run-to-target loop
-# scales >= this run the staged granularity up front: the fused f64
-# program's compile time grows superlinearly with mesh size on the
-# tunneled runtime (52 s at scale 2 round 2; ~294 s round 3; the
-# compiler crashes outright near 5M nodes) while the staged f32 inner
-# program compiles several times faster
-STAGED_MIN = int(os.environ.get("TURBOMESH_BENCH_STAGED_MIN", "8"))
 
 
 def build_mesh(scale_cells: int = 4):
@@ -81,10 +75,11 @@ def bench_scale(scale: int, picard_cap: int, oracle: bool):
     from turbomesh_tpu.smoothing.system import SparseSystem
 
     rec = {"scale_cells": scale}
-    if scale >= STAGED_MIN:
-        os.environ["TURBOMESH_FUSED_SOLVE"] = "0"
-    else:
-        os.environ.pop("TURBOMESH_FUSED_SOLVE", None)
+    # granularity is auto-selected per mesh size (DeviceSmoother.
+    # _prefer_staged: fused below ~3M padded points, staged above — the
+    # fused program dies at dispatch beyond that on this runtime); clear
+    # any degradation override a previous scale left behind
+    os.environ.pop("TURBOMESH_FUSED_SOLVE", None)
     t0 = time.perf_counter()
     mesh = build_mesh(scale)
     rec["nodes"] = n = mesh.num_points

@@ -77,6 +77,20 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 
+def _recoverable_failure(e) -> bool:
+    """Failure classes the granularity chain can degrade around: remote
+    compile-service rejections (Mosaic crashes, too-large fused
+    programs) and runtime-internal execution failures of a compiled
+    program (round-3 probe: the fused 1.5M-node program compiles but
+    dies with "INTERNAL: TPU backend error" at dispatch, while the same
+    work as staged programs runs fine). Genuine user/shape errors don't
+    match and propagate."""
+    s = str(e)
+    return ("Mosaic" in s or "remote_compile" in s
+            or "TPU backend error" in s
+            or "TPU worker process crashed" in s)
+
+
 def device_jit(fn, **kw):
     """jax.jit with XLA's ``constant_folding`` HLO pass disabled.
 
@@ -871,7 +885,7 @@ class DeviceSmoother:
         if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1":
             self.granularity = "host_krylov"
             return self._solve_host_krylov(coords, cf)
-        if os.environ.get("TURBOMESH_FUSED_SOLVE") == "0":
+        if self._prefer_staged():
             return self._solve_staged(coords, cf)
 
         from .krylov import _warn_nonconverged
@@ -880,37 +894,43 @@ class DeviceSmoother:
         X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
         C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
-        def _compile_failure(e) -> bool:
-            return "Mosaic" in str(e) or "remote_compile" in str(e)
-
         import logging
 
         log = logging.getLogger("turbomesh.device")
-        try:
+
+        def _run_fused():
             X1, stats = self._solve_jit(self._plans_arg, X, C)
-        except Exception as e:  # noqa: BLE001 — compile-service fallback
-            if not _compile_failure(e):
+            # materialize INSIDE the protected region: runtime-internal
+            # failures of the compiled program surface at the first pull,
+            # not at dispatch
+            return X1, np.asarray(stats)
+
+        try:
+            X1, stats = _run_fused()
+        except Exception as e:  # noqa: BLE001 — compile/runtime fallback
+            if not _recoverable_failure(e):
                 raise
-            # two failure classes share the symptom (HTTP 500 from the
-            # remote compiler): a rejected Pallas kernel, and a too-large
-            # fused program. Retry without the kernel, then degrade to
-            # the staged architecture (smaller separate programs).
+            # three failure classes share the degradation path: a rejected
+            # Pallas kernel, a too-large fused program (remote-compiler
+            # HTTP 500), and a compiled program that dies at dispatch
+            # ("INTERNAL: TPU backend error"). Retry without the kernel,
+            # then degrade to the staged architecture (smaller programs).
             log.warning(
-                "fused solve failed to compile (%s); retrying without "
+                "fused solve failed (%s); retrying without "
                 "the Pallas smoother", str(e).splitlines()[0][:120])
             os.environ["TURBOMESH_PALLAS"] = "0"
-            self._solve_jit = device_jit(self._solve_impl)
+            self._solve_jit = self._swap_jit(self._solve_impl)
             self.granularity = "fused_nopallas"
             try:
-                X1, stats = self._solve_jit(self._plans_arg, X, C)
+                X1, stats = _run_fused()
             except Exception as e2:  # noqa: BLE001
-                if not _compile_failure(e2):
+                if not _recoverable_failure(e2):
                     raise
                 log.warning(
-                    "fused solve still failed to compile; degrading to "
+                    "fused solve still failed; degrading to "
                     "the staged per-program architecture")
                 return self._solve_staged(coords, cf)
-        rn, ok, _ = np.asarray(stats)
+        rn, ok, _ = stats
         rn = float(rn)
         if not bool(ok):
             _warn_nonconverged("device fgmres",
@@ -931,7 +951,9 @@ class DeviceSmoother:
         across Picard iterations; each iteration dispatches (a) the
         jitted control-function update (White's feedback law as array
         ops, control_function.make_device_update) for n > 0 and (b) the
-        fused linearized solve — and downloads ONE tiny stats vector
+        linearized solve (the fused single program below ~3M padded
+        points, the staged stepper above — _prefer_staged) — and
+        downloads ONE tiny stats vector
         [linear residual, converged flag, displacement residual]. The
         full field crosses the (slow) device->host tunnel only at
         checkpoints and once at the end. Contrast DeviceSmoother.solve,
@@ -949,15 +971,14 @@ class DeviceSmoother:
         from .krylov import _warn_nonconverged
 
         log = logging.getLogger("turbomesh.smoothing")
-        if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1" or \
-                os.environ.get("TURBOMESH_FUSED_SOLVE") == "0":
+        if os.environ.get("TURBOMESH_HOST_KRYLOV") == "1":
             # explicit fallback-granularity override: the per-iteration
-            # solve() honors it (staged / host-Krylov); those paths are
-            # host-orchestrated anyway
+            # solve() honors it; that path is host-orchestrated anyway
             return self._run_host_loop(
                 coords, cf, iterations, algorithm, start_iteration,
                 target_residual, residual_history,
                 checkpoint_cb, checkpoint_every)
+        use_staged = self._prefer_staged()
         p = self.plan
         upd = (make_device_update(algorithm, self._mesh, p)
                if algorithm is not None else None)
@@ -974,20 +995,42 @@ class DeviceSmoother:
             log.info("iteration: %d", n)
             if n > 0 and upd is not None:
                 C = upd(X, C)
-            try:
-                X, stats = self._solve_jit(self._plans_arg, X, C)
-            except Exception as e:  # noqa: BLE001 — degrade to solve()'s chain
-                if not ("Mosaic" in str(e) or "remote_compile" in str(e)):
-                    raise
-                log.warning(
-                    "device-resident loop: fused solve failed to compile; "
-                    "degrading to per-iteration solve() with host fields")
-                coords, cf = to_host(X, C)
-                return self._run_host_loop(
-                    coords, cf, iterations, algorithm, n,
-                    target_residual, residual_history,
-                    checkpoint_cb, checkpoint_every)
-            rn, ok, disp = (float(v) for v in np.asarray(stats))  # one pull
+            while True:  # granularity-degradation retry of THIS iteration
+                try:
+                    if use_staged:
+                        # staged stepper: X stays in HBM; _solve_staged_dev
+                        # pulls one scalar per refinement pass (and warns
+                        # on non-convergence itself — stats ok stays 1)
+                        Xn = self._solve_staged_dev(X, C)
+                        d2 = float(jnp.sum((Xn - X) ** 2))
+                        stats = np.array(
+                            [self.last_linear_residual, 1.0, d2 * d2])
+                    else:
+                        Xn, stats = self._solve_jit(self._plans_arg, X, C)
+                        stats = np.asarray(stats)  # materialize in guard
+                    break
+                except Exception as e:  # noqa: BLE001 — degrade granularity
+                    if not _recoverable_failure(e):
+                        raise
+                    if not use_staged:
+                        log.warning(
+                            "device-resident loop: fused solve failed (%s); "
+                            "switching to the staged stepper (field stays "
+                            "in HBM)", str(e).splitlines()[0][:120])
+                        use_staged = True
+                        os.environ["TURBOMESH_FUSED_SOLVE"] = "0"
+                        continue  # retry this iteration staged
+                    log.warning(
+                        "device-resident loop: staged solve failed (%s); "
+                        "degrading to per-iteration solve() with host "
+                        "fields", str(e).splitlines()[0][:120])
+                    coords, cf = to_host(X, C)
+                    return self._run_host_loop(
+                        coords, cf, iterations, algorithm, n,
+                        target_residual, residual_history,
+                        checkpoint_cb, checkpoint_every)
+            X = Xn
+            rn, ok, disp = (float(v) for v in stats)  # one pull
             if not ok:
                 _warn_nonconverged("device fgmres",
                                    self.restart * self.max_restarts, rn,
@@ -1039,20 +1082,46 @@ class DeviceSmoother:
                 checkpoint_cb(coords, cf, n_done)
         return coords, cf, disp, n_done
 
+    def _prefer_staged(self) -> bool:
+        """Granularity auto-selection: the fused single-program solve is
+        fastest when it works, but on this runtime a compiled fused
+        program above a few million padded points dies at dispatch
+        ("INTERNAL: TPU backend error") after paying its (long) compile —
+        while the staged per-program granularity runs fine at the same
+        size (scale-8 probe: 1.54M nodes, 3.9 s/solve warm). Above the
+        threshold default to staged up front instead of burning the
+        fused compile. TURBOMESH_FUSED_SOLVE=1 forces fused, =0 forces
+        staged; TURBOMESH_FUSED_MAX_MPTS moves the threshold."""
+        gate = os.environ.get("TURBOMESH_FUSED_SOLVE")
+        if gate == "1":
+            return False
+        if gate == "0":
+            return True
+        p = self.plan
+        cap = float(os.environ.get("TURBOMESH_FUSED_MAX_MPTS", "3.0"))
+        return p.B * p.N * p.M > cap * 1e6
+
     def _solve_staged(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
         """Staged fallback: f64 iterative refinement on host over
         device-resident fields; each pass is one fused f32 GMRES+V-cycle
         inner solve plus one small f64 residual program; only the
         residual norm (one scalar) crosses per pass."""
+        p = self.plan
+        X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
+        C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
+        X1 = self._solve_staged_dev(X, C)
+        return np.asarray(X1.reshape(-1, 2))[p.scatter_idx]
+
+    def _solve_staged_dev(self, X, C):
+        """Device-level staged solve: padded stack in, padded stack out
+        (both stay in HBM — run()'s device-resident Picard loop calls
+        this per iteration at staged granularity). Scalar residual norms
+        are the only per-pass host traffic."""
         from .krylov import _warn_nonconverged
 
         self.granularity = ("staged_hostinner"
                             if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
                             else "staged")
-        p = self.plan
-        X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
-        C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
-
         baseF, b = self._jit_base(self._plans_arg, X, C)
         ctx = self._jit_prepare32(self._plans_arg, baseF, C)
         bnorm = float(jnp.linalg.norm(b))
@@ -1066,15 +1135,17 @@ class DeviceSmoother:
         while rn > tol and k < self.max_refine:
             try:
                 d = self._inner_solve(ctx, C, r)
-            except Exception as e:  # noqa: BLE001 — compile fallback
-                if not ("Mosaic" in str(e) or "remote_compile" in str(e)) \
+                jax.block_until_ready(d)  # runtime failures surface here
+            except Exception as e:  # noqa: BLE001 — compile/runtime fallback
+                if not _recoverable_failure(e) \
                         or os.environ.get("TURBOMESH_FUSED_INNER") == "0":
                     raise
                 import logging
 
                 logging.getLogger("turbomesh.device").warning(
-                    "fused inner solver failed to compile; degrading to "
-                    "host-orchestrated per-piece programs")
+                    "fused inner solver failed (%s); degrading to "
+                    "host-orchestrated per-piece programs",
+                    str(e).splitlines()[0][:120])
                 os.environ["TURBOMESH_FUSED_INNER"] = "0"
                 self.granularity = "staged_hostinner"
                 d = self._inner_solve(ctx, C, r)
@@ -1087,7 +1158,7 @@ class DeviceSmoother:
         self.last_linear_residual = rn
 
         X1 = self._jit_finish(self._plans_arg, baseF, x)
-        return np.asarray(X1)[p.scatter_idx]
+        return X1.reshape(X.shape)
 
     def _solve_host_krylov(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
         """Fallback for runtimes that cannot compile the fused f32 inner
