@@ -82,6 +82,38 @@ def test_sixteen_block_chain_eight_devices():
     _compare(mesh, n_devices=min(8, len(jax.devices())))
 
 
+def test_eight_big_blocks_eight_devices():
+    """129x129 blocks across all 8 devices (VERDICT round-2 item 4b: the
+    per-level ppermute glue / exchange schedules / f32-MG-under-f64-FGMRES
+    had only ever run on 7x5 blocks — real-size blocks expose index and
+    precision bugs toy meshes can't). 133k points, one block per device;
+    parity bar carries a large margin over the measured 3e-13."""
+    mesh = Mesh()
+    n = 129
+    for k in range(8):
+        mesh.add_block(f"b{k}", _uniform_block(n, n, x0=float(k)))
+        if k:
+            mesh.connections.append(
+                Connection((Range(k - 1, Side.J_MAX, 0, n - 1),
+                            Range(k, Side.J_MIN, 0, n - 1))))
+    rng = np.random.default_rng(0)
+    for b in mesh.blocks:
+        b.points[1:-1, 1:-1] += (0.3 / n) * rng.standard_normal(
+            b.points[1:-1, 1:-1].shape)
+    for k in range(1, 8):
+        mesh.blocks[k].points[0, :, :] = mesh.blocks[k - 1].points[-1, :, :]
+
+    info = classify(mesh)
+    oracle = SparseSystem(mesh, info)
+    sharded = ShardedSmoother(mesh, info, n_devices=min(8, len(jax.devices())),
+                              rtol=1e-8, atol=0.0)
+    cf = Laplace().init(mesh)
+    co = oracle.solve(mesh.flat_coords(), cf)
+    cs = sharded.solve(mesh.flat_coords(), cf)
+    err = np.abs(co - cs).max()
+    assert err < 1e-9, f"big-block sharded vs oracle mismatch {err:.3e}"
+
+
 def test_o4h_eight_devices():
     """Full 8-block O4H (junctions, periodic, sliding) on 8 devices."""
     from turbomesh_tpu import input as input_mod
