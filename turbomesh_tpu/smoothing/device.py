@@ -466,6 +466,12 @@ class DeviceSmoother:
         self._jit_Minv_finish = self._swap_jit(self._stage_Minv_finish)
         self._jit_vcycle = self._swap_jit(self._stage_vcycle_interior)
         self._jit_finish = self._swap_jit(self._stage_finish)
+        self._jit_refine = self._swap_jit(self._stage_refine)
+        # small jitted helpers so NO eager op ever touches a big flat
+        # (P, 2) field (eager layout normalization pads dim 2 -> 128)
+        self._jit_norm = device_jit(jnp.linalg.norm)
+        self._jit_zeros = device_jit(jnp.zeros_like)
+        self._jit_disp = device_jit(lambda a, b2: jnp.sum((a - b2) ** 2))
 
     def _swap_wrap(self, fn):
         """Wrap ``fn`` to take the plan/glue pytrees as its leading
@@ -1002,7 +1008,7 @@ class DeviceSmoother:
                         # pulls one scalar per refinement pass (and warns
                         # on non-convergence itself — stats ok stays 1)
                         Xn = self._solve_staged_dev(X, C)
-                        d2 = float(jnp.sum((Xn - X) ** 2))
+                        d2 = float(self._jit_disp(Xn, X))
                         stats = np.array(
                             [self.last_linear_residual, 1.0, d2 * d2])
                     else:
@@ -1110,7 +1116,9 @@ class DeviceSmoother:
         X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
         C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
         X1 = self._solve_staged_dev(X, C)
-        return np.asarray(X1.reshape(-1, 2))[p.scatter_idx]
+        # download the 4-D stack, reshape on host: an eager device
+        # reshape to (P, 2) can insert a 64x-padded layout copy
+        return np.asarray(X1).reshape(-1, 2)[p.scatter_idx]
 
     def _solve_staged_dev(self, X, C):
         """Device-level staged solve: padded stack in, padded stack out
@@ -1122,13 +1130,19 @@ class DeviceSmoother:
         self.granularity = ("staged_hostinner"
                             if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
                             else "staged")
+        # EVERY array op below runs under jit. Eager TPU ops on the big
+        # flat (P, 2) fields compile one-off programs that normalize the
+        # operand to the default T(8,128) layout — dim 2 pads to 128, a
+        # 64x copy (measured: a 15.87M x 2 f64 eager norm demanded a
+        # 15 GiB temp and killed the worker at scale 15). Jitted
+        # programs negotiate compact layouts end to end; only scalars
+        # are pulled to host.
         baseF, b = self._jit_base(self._plans_arg, X, C)
         ctx = self._jit_prepare32(self._plans_arg, baseF, C)
-        bnorm = float(jnp.linalg.norm(b))
+        bnorm = float(self._jit_norm(b))
         tol = max(self.rtol * bnorm, self.atol)
 
-        free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
-        x = jnp.zeros_like(b)
+        x = self._jit_zeros(b)
         r = b
         rn = bnorm
         k = 0
@@ -1149,9 +1163,11 @@ class DeviceSmoother:
                 os.environ["TURBOMESH_FUSED_INNER"] = "0"
                 self.granularity = "staged_hostinner"
                 d = self._inner_solve(ctx, C, r)
-            x = x + jnp.where(free64, d, 0.0)
-            r = b - self._jit_apply64(self._plans_arg, baseF, C, x)
-            rn = float(jnp.linalg.norm(r))  # scalar d2h per pass
+            # one jitted program per pass: x += masked d, fresh residual,
+            # and its norm (the only per-pass host traffic is rn)
+            x, r, rn_dev = self._jit_refine(self._plans_arg, baseF, C,
+                                            x, d, b)
+            rn = float(rn_dev)
             k += 1
         if rn > tol:
             _warn_nonconverged("device refinement", k, rn, tol)
@@ -1159,6 +1175,14 @@ class DeviceSmoother:
 
         X1 = self._jit_finish(self._plans_arg, baseF, x)
         return X1.reshape(X.shape)
+
+    def _stage_refine(self, baseF, C, x, d, b):
+        """One f64 refinement pass: accumulate the masked inner
+        correction, recompute the true residual, return its norm."""
+        free64 = self._jnp_plan["free_mask"].reshape(-1, 2)
+        x1 = x + jnp.where(free64, d, 0.0)
+        r1 = b - self._stage_apply64(baseF, C, x1)
+        return x1, r1, jnp.linalg.norm(r1)
 
     def _solve_host_krylov(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
         """Fallback for runtimes that cannot compile the fused f32 inner
