@@ -467,11 +467,17 @@ class DeviceSmoother:
         self._jit_vcycle = self._swap_jit(self._stage_vcycle_interior)
         self._jit_finish = self._swap_jit(self._stage_finish)
         self._jit_refine = self._swap_jit(self._stage_refine)
+        self._jit_equil = self._swap_jit(self._stage_equil)
+        self._jit_A64s = self._swap_jit(self._stage_A64s)
+        self._jit_Ms = self._swap_jit(self._stage_Ms)
         # small jitted helpers so NO eager op ever touches a big flat
         # (P, 2) field (eager layout normalization pads dim 2 -> 128)
         self._jit_norm = device_jit(jnp.linalg.norm)
         self._jit_zeros = device_jit(jnp.zeros_like)
         self._jit_disp = device_jit(lambda a, b2: jnp.sum((a - b2) ** 2))
+        self._jit_dot = device_jit(lambda u, v: jnp.sum(u * v))
+        self._jit_axpy = device_jit(lambda w, v, a: w + a * v)
+        self._jit_scale = device_jit(lambda v, a: a * v)
 
     def _swap_wrap(self, fn):
         """Wrap ``fn`` to take the plan/glue pytrees as its leading
@@ -826,7 +832,7 @@ class DeviceSmoother:
         d32, _ = restarted_gmres(
             A_s, r32, M_inv_s, dot=lambda x, y: jnp.sum(x * y),
             rtol=jnp.float32(1e-6), atol=jnp.float32(0.0),
-            restart=self.restart, max_restarts=self.max_restarts,
+            restart=self.restart, max_restarts=self._inner_restarts(),
         )
         return d32.astype(jnp.float64)
 
@@ -1123,20 +1129,38 @@ class DeviceSmoother:
     def _solve_staged_dev(self, X, C):
         """Device-level staged solve: padded stack in, padded stack out
         (both stay in HBM — run()'s device-resident Picard loop calls
-        this per iteration at staged granularity). Scalar residual norms
-        are the only per-pass host traffic."""
+        this per iteration at staged granularity).
+
+        Architecture, shaped by three measured TPU-runtime constraints
+        at multi-million-node scale:
+        (a) the tunneled runtime kills any single program execution
+            beyond ~100 s, so neither the fused full-Krylov program nor
+            an oversized f32 inner program may run (the inner iteration
+            budget is time-clamped, _inner_restarts);
+        (b) the remote compiler crashes on one-restart-per-program f64
+            FGMRES cycle programs above ~5M nodes, so the f64 Krylov
+            loop is host-orchestrated over small jitted pieces;
+        (c) eager device ops on big flat (P, 2) fields insert 64x-padded
+            layout copies (a measured 15 GiB temp at scale 15), so every
+            array op — down to axpy and dot — is a jitted program.
+
+        Phase 1 (fast): f64 iterative refinement over the fused f32
+        inner GMRES+V-cycle program — each pass one short device
+        program, only scalars cross. The f32-rounded operator
+        coefficients (metric differences of closely-spaced wall points)
+        bound its attainable contraction at extreme condition numbers
+        (measured stall: ~1e-4 relative at scale 15's wall clustering).
+        Phase 2 (exact tail): when refinement stalls before tolerance,
+        host-orchestrated exact-f64 FGMRES (krylov.host_fgmres) with the
+        same equilibration and f32 V-I preconditioner as the fused
+        _solve_impl finishes from the refined iterate — identical
+        convergence behavior to the fused program, in watchdog-safe
+        pieces."""
         from .krylov import _warn_nonconverged
 
         self.granularity = ("staged_hostinner"
                             if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
                             else "staged")
-        # EVERY array op below runs under jit. Eager TPU ops on the big
-        # flat (P, 2) fields compile one-off programs that normalize the
-        # operand to the default T(8,128) layout — dim 2 pads to 128, a
-        # 64x copy (measured: a 15.87M x 2 f64 eager norm demanded a
-        # 15 GiB temp and killed the worker at scale 15). Jitted
-        # programs negotiate compact layouts end to end; only scalars
-        # are pulled to host.
         baseF, b = self._jit_base(self._plans_arg, X, C)
         ctx = self._jit_prepare32(self._plans_arg, baseF, C)
         bnorm = float(self._jit_norm(b))
@@ -1145,12 +1169,13 @@ class DeviceSmoother:
         x = self._jit_zeros(b)
         r = b
         rn = bnorm
+        prev = np.inf
         k = 0
         while rn > tol and k < self.max_refine:
             try:
                 d = self._inner_solve(ctx, C, r)
                 jax.block_until_ready(d)  # runtime failures surface here
-            except Exception as e:  # noqa: BLE001 — compile/runtime fallback
+            except Exception as e:  # noqa: BLE001 — degrade granularity
                 if not _recoverable_failure(e) \
                         or os.environ.get("TURBOMESH_FUSED_INNER") == "0":
                     raise
@@ -1162,19 +1187,104 @@ class DeviceSmoother:
                     str(e).splitlines()[0][:120])
                 os.environ["TURBOMESH_FUSED_INNER"] = "0"
                 self.granularity = "staged_hostinner"
-                d = self._inner_solve(ctx, C, r)
+                continue  # retry this pass through the host inner
             # one jitted program per pass: x += masked d, fresh residual,
             # and its norm (the only per-pass host traffic is rn)
             x, r, rn_dev = self._jit_refine(self._plans_arg, baseF, C,
                                             x, d, b)
             rn = float(rn_dev)
             k += 1
+            if rn > 0.5 * prev:
+                break  # f32-operator stall — hand over to the f64 tail
+            prev = rn
+
+        met_s = False
         if rn > tol:
-            _warn_nonconverged("device refinement", k, rn, tol)
+            x, rn, met_s = self._f64_tail(baseF, C, ctx, b, x)
+        if rn > tol and not met_s:
+            # dual criterion as in _solve_impl: equilibrated (row-
+            # relative, what the 1e-10 parity bar needs) OR the
+            # reference's plain criterion — either counts as converged
+            _warn_nonconverged("device fgmres (staged)", k, rn, tol)
         self.last_linear_residual = rn
 
         X1 = self._jit_finish(self._plans_arg, baseF, x)
         return X1.reshape(X.shape)
+
+    def _f64_tail(self, baseF, C, ctx, b, x):
+        """Exact-f64 equilibrated FGMRES from iterate ``x`` via
+        host-orchestrated jitted pieces; returns (x1, plain residual
+        norm, met_equilibrated_tol). The equilibrated system D^-1 A has
+        the same solution; the plain residual is recomputed for the
+        caller's dual stop test."""
+        from .krylov import host_fgmres
+
+        plans = self._plans_arg
+
+        b_s, _bn, bnorm_s = self._jit_equil(plans, ctx, b)
+        tol_s = max(self.rtol * float(bnorm_s), self.atol)
+        x1, rn_s, _it = host_fgmres(
+            lambda v: self._jit_A64s(plans, baseF, C, ctx, v),
+            lambda v: self._jit_Ms(plans, ctx, v),
+            b_s, x, rtol=0.0, atol=tol_s,
+            restart=self._staged_restart(),
+            max_restarts=self.max_restarts,
+            dot=lambda u, v: self._jit_dot(u, v),
+            axpy=lambda w, v, a: self._jit_axpy(w, v, a),
+            scale=lambda v, a: self._jit_scale(v, a),
+            norm=lambda v: self._jit_norm(v))
+        _x2, _r2, rn_plain = self._jit_refine(plans, baseF, C,
+                                              self._jit_zeros(b), x1, b)
+        return x1, float(rn_plain), rn_s <= tol_s
+
+    def _staged_restart(self) -> int:
+        """Krylov dimension m for the f64 tail: V (m+1) + Z (m) f64
+        basis vectors live as separate device buffers — (2m+1) * P * 16
+        bytes next to the fields and the MG hierarchy. Cap the basis
+        budget (default 4 GB, TURBOMESH_KRYLOV_BYTES) so multi-million-
+        point meshes fit HBM (at 15.87M padded points a restart=10
+        basis alone is 5.3 GB; the one-program cycle formulation
+        ResourceExhausted a 16 GB chip)."""
+        budget = float(os.environ.get("TURBOMESH_KRYLOV_BYTES", 6e9))
+        P = self.plan.B * self.plan.N * self.plan.M
+        m = int((budget / (P * 16) - 1) / 2)
+        return max(4, min(self.restart, m))
+
+    def _inner_restarts(self) -> int:
+        """Iteration budget for the fused f32 inner program, clamped so
+        one program execution stays under the runtime's per-execution
+        kill window (measured: ~105 s of one execution trips it; 10 f32
+        GMRES iterations at 15.87M padded points take 10.8 s, i.e.
+        ~0.068 s per iteration per Mpt). TURBOMESH_MAX_PROGRAM_SECS
+        moves the budget; CPU (no watchdog) is unclamped."""
+        if jax.default_backend() != "tpu":
+            return self.max_restarts
+        budget = float(os.environ.get("TURBOMESH_MAX_PROGRAM_SECS", "60"))
+        mpts = self.plan.B * self.plan.N * self.plan.M / 1e6
+        per_iter = 0.068 * mpts
+        cap = max(1, int(budget / max(per_iter, 1e-9) / self.restart))
+        return min(self.max_restarts, cap)
+
+    def _stage_equil(self, ctx, b):
+        """Equilibrated rhs b_s = D^-1 b plus the plain/equilibrated
+        norms (one program: two scalars + one field out)."""
+        row_diag = ctx["diag"].astype(jnp.float64).reshape(-1, 2)
+        b_s = b / row_diag
+        return b_s, jnp.linalg.norm(b), jnp.linalg.norm(b_s)
+
+    def _stage_A64s(self, baseF, C, ctx, v):
+        """Equilibrated f64 operator D^-1 A v (one jitted piece of the
+        host-orchestrated f64 tail)."""
+        row_diag = ctx["diag"].astype(jnp.float64).reshape(-1, 2)
+        return self._stage_apply64(baseF, C, v) / row_diag
+
+    def _stage_Ms(self, ctx, v):
+        """f32 V-I preconditioner in the equilibrated frame (matches
+        _solve_impl's M_s), as a standalone jitted piece."""
+        row_diag = ctx["diag"].astype(jnp.float64).reshape(-1, 2)
+        v32 = (row_diag * v).astype(jnp.float32)
+        return self._stage_Minv(ctx, v32).astype(jnp.float64)
+
 
     def _stage_refine(self, baseF, C, x, d, b):
         """One f64 refinement pass: accumulate the masked inner

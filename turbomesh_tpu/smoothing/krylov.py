@@ -86,6 +86,48 @@ def restarted_gmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts):
     return x, rn
 
 
+def fgmres_one_cycle(A, b, M_inv, dot, m, x):
+    """One FGMRES(m) restart cycle from iterate ``x``: Arnoldi over the
+    preconditioned directions Z, Givens least-squares, update. Returns
+    (x1, r1, ||r1||). Split out of restarted_fgmres so callers can run
+    ONE cycle per device program and carry ``x`` across calls — the
+    tunneled TPU runtime kills any single program execution beyond
+    ~100 s, which caps how much Krylov work one dispatch may do at
+    multi-million-node scale."""
+    r = b - A(x)
+    beta = jnp.sqrt(dot(r, r))
+    V = jnp.zeros((m + 1,) + b.shape, b.dtype)
+    V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
+    Z = jnp.zeros((m,) + b.shape, b.dtype)
+    H = jnp.zeros((m + 1, m), b.dtype)
+
+    def arnoldi(k, carry):
+        V, Z, H = carry
+        z = M_inv(V[k])
+        Z = Z.at[k].set(z)
+        w = A(z)
+
+        def mgs(i, wh):
+            w, H = wh
+            hik = dot(w, V[i])
+            H = H.at[i, k].set(jnp.where(i <= k, hik, H[i, k]))
+            w = jnp.where(i <= k, w - hik * V[i], w)
+            return (w, H)
+
+        w, H = jax.lax.fori_loop(0, m, mgs, (w, H))
+        hk1 = jnp.sqrt(dot(w, w))
+        H = H.at[k + 1, k].set(hk1)
+        V = V.at[k + 1].set(w / jnp.where(hk1 == 0, 1.0, hk1))
+        return (V, Z, H)
+
+    V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V, Z, H))
+    e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+    y = _lsq_givens(H, e1, m)
+    x1 = x + jnp.tensordot(y, Z, axes=1)
+    r1 = b - A(x1)
+    return x1, r1, jnp.sqrt(dot(r1, r1))
+
+
 def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts,
                      w2=None, tol2=None, return_restarts=False):
     """Flexible restarted GMRES (FGMRES, Saad 1993): stores the
@@ -115,47 +157,13 @@ def restarted_fgmres(A, b, M_inv, dot, rtol, atol, restart, max_restarts,
             live = jnp.logical_and(live, rn2 > tol2)
         return live
 
-    def fgmres_cycle(x):
-        r = b - A(x)
-        beta = jnp.sqrt(dot(r, r))
-        V = jnp.zeros((m + 1,) + b.shape, b.dtype)
-        V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
-        Z = jnp.zeros((m,) + b.shape, b.dtype)
-        H = jnp.zeros((m + 1, m), b.dtype)
-
-        def arnoldi(k, carry):
-            V, Z, H = carry
-            z = M_inv(V[k])
-            Z = Z.at[k].set(z)
-            w = A(z)
-
-            def mgs(i, wh):
-                w, H = wh
-                hik = dot(w, V[i])
-                H = H.at[i, k].set(jnp.where(i <= k, hik, H[i, k]))
-                w = jnp.where(i <= k, w - hik * V[i], w)
-                return (w, H)
-
-            w, H = jax.lax.fori_loop(0, m, mgs, (w, H))
-            hk1 = jnp.sqrt(dot(w, w))
-            H = H.at[k + 1, k].set(hk1)
-            V = V.at[k + 1].set(w / jnp.where(hk1 == 0, 1.0, hk1))
-            return (V, Z, H)
-
-        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V, Z, H))
-        e1 = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
-        y = _lsq_givens(H, e1, m)
-        return x + jnp.tensordot(y, Z, axes=1)
-
     def cond(state):
         i, x, rn, live = state
         return jnp.logical_and(i < max_restarts, live)
 
     def body(state):
         i, x, _, _ = state
-        x = fgmres_cycle(x)
-        r = b - A(x)
-        rn = jnp.sqrt(dot(r, r))
+        x, r, rn = fgmres_one_cycle(A, b, M_inv, dot, m, x)
         return (i + 1, x, rn, not_done(r, rn))
 
     x0 = jnp.zeros_like(b)
@@ -246,6 +254,73 @@ def host_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
     if rn > tol:
         _warn_nonconverged("gmres(host)", max_restarts * m, rn, tol)
     return x, rn
+
+
+def host_fgmres(A, M_inv, b, x0, rtol, atol, restart, max_restarts, *,
+                dot, axpy, scale, norm, warn_name=None):
+    """Flexible restarted GMRES with host-side control flow and
+    INJECTED jitted vector primitives — the large-mesh workhorse.
+
+    Three TPU-runtime constraints shape it (see DeviceSmoother.
+    _solve_staged_dev): the fused while_loop program trips a ~100 s
+    per-execution watchdog, the one-restart-per-program variant crashes
+    the remote compiler above ~5M nodes, and EAGER device ops on big
+    (P, 2) fields insert 64x-padded layout copies. So each A / M_inv /
+    axpy / dot application is its own small jitted program; Arnoldi and
+    Givens bookkeeping run in NumPy on pulled scalars. Per-iteration
+    dispatch overhead is a few ms — noise next to the multi-second
+    operator applications at multi-million-node scale.
+
+    dot(u, v) -> device scalar; axpy(w, v, a) -> w + a*v (a: scalar);
+    scale(v, a) -> a*v; norm(v) -> device scalar.
+    Returns (x, rn, iters_done).
+    """
+    import numpy as onp
+
+    bnorm = float(norm(b))
+    tol = max(rtol * bnorm, atol)
+    m = restart
+
+    x = x0
+    rn = onp.inf
+    iters = 0
+    for _ in range(max_restarts):
+        r = axpy(b, A(x), -1.0)
+        beta = float(norm(r))
+        rn = beta
+        if beta <= tol:
+            break
+        V = [scale(r, 1.0 / beta)]
+        Z = []
+        H = onp.zeros((m + 1, m))
+        k_used = m
+        for k in range(m):
+            z = M_inv(V[k])
+            Z.append(z)
+            w = A(z)
+            for i in range(k + 1):
+                hik = float(dot(V[i], w))
+                H[i, k] = hik
+                w = axpy(w, V[i], -hik)
+            hk1 = float(norm(w))
+            H[k + 1, k] = hk1
+            iters += 1
+            if hk1 == 0.0:
+                k_used = k + 1
+                break
+            V.append(scale(w, 1.0 / hk1))
+        e1 = onp.zeros(m + 1)
+        e1[0] = beta
+        y, *_ = onp.linalg.lstsq(H[: k_used + 1, :k_used],
+                                 e1[: k_used + 1], rcond=None)
+        for i in range(k_used):
+            x = axpy(x, Z[i], float(y[i]))
+        del V, Z  # free the basis buffers before the next cycle
+    else:
+        rn = float(norm(axpy(b, A(x), -1.0)))
+    if rn > tol and warn_name:
+        _warn_nonconverged(warn_name, iters, rn, tol)
+    return x, rn, iters
 
 
 def thomas(dl, d, du, rhs):
