@@ -330,26 +330,56 @@ def zebra_variant() -> str:
 _KERNEL_OK: dict[str, bool] = {}
 
 
+def _probe_marker_path(variant: str):
+    """Persist the probe verdict next to the persistent compilation
+    cache so repeat processes skip the (multi-minute on this runtime)
+    probe compiles. Returns None when no cache dir is configured."""
+    import os
+    import pathlib
+
+    loc = jax.config.jax_compilation_cache_dir
+    if not loc:
+        return None
+    return (pathlib.Path(loc) /
+            f"zebra_probe_{variant}_{jax.default_backend()}.ok")
+
+
 def zebra_kernel_ok(variant: str = "thomas") -> bool:
     """One-time probe: does the zebra kernel itself compile and run on
-    this runtime's Mosaic?  pallas_service_ok() only proves a trivial
-    kernel compiles; the historical failure mode here is variant-
-    specific (PCR dataflow crashes the tunneled Mosaic while trivial
-    kernels pass).  Probing with the real kernel at a tiny shape is what
-    lets the production V-cycle auto-enable Pallas on healthy runtimes
-    and cleanly fall back on this one."""
+    this runtime's Mosaic — at PRODUCTION-representative shapes?
+
+    pallas_service_ok() only proves a trivial kernel compiles, and a
+    tiny-shape kernel probe is not enough either: this runtime's Mosaic
+    compiles the real kernel at (1, 8, 128) but HTTP-500s on the same
+    kernel at (8, 123, 83) — the smallest shape the production V-cycle
+    actually launches — and the crash both wedges the compile service
+    for minutes and can kill the TPU worker mid-bench. So the probe
+    runs the real kernel at a small-production shape along BOTH sweep
+    axes; healthy runtimes pass and auto-enable, this one fails and
+    cleanly disables. The verdict persists next to the compilation
+    cache (delete the marker file to re-probe)."""
     if variant not in _KERNEL_OK:
+        marker = _probe_marker_path(variant)
+        if marker is not None and marker.exists():
+            _KERNEL_OK[variant] = marker.read_text().strip() == "1"
+            return _KERNEL_OK[variant]
         try:
-            B, Ng, Mg = 1, 8, 128
-            z = jnp.zeros((B, Ng, Mg), jnp.float32)
-            one = jnp.ones((B, Ng, Mg), jnp.float32)
-            base = jnp.cumsum(one, axis=1) + jnp.cumsum(one, axis=2)
-            out = zebra_pass(base, base, z, z, -one, 4.0 * one, -one, one,
-                             one, one, one, z, z, axis=0, use_pallas=True,
-                             variant=variant)
-            jax.block_until_ready(out)
-            _KERNEL_OK[variant] = bool(np.isfinite(
-                np.asarray(out[0])).all())
+            ok = True
+            for (B, Ng, Mg), axis in (((1, 8, 128), 0),
+                                      ((8, 123, 83), 0),
+                                      ((8, 123, 83), 1)):
+                z = jnp.zeros((B, Ng, Mg), jnp.float32)
+                one = jnp.ones((B, Ng, Mg), jnp.float32)
+                base = (jnp.cumsum(one, axis=1)
+                        + jnp.cumsum(one, axis=2)) * 0.01
+                out = zebra_pass(base, base, z, z, -one, 4.0 * one, -one,
+                                 one, one, one, one, z, z, axis=axis,
+                                 use_pallas=True, variant=variant)
+                jax.block_until_ready(out)
+                ok &= bool(np.isfinite(np.asarray(out[0])).all())
+                if not ok:
+                    break
+            _KERNEL_OK[variant] = ok
         except Exception as e:  # noqa: BLE001 — any compile failure disables
             _KERNEL_OK[variant] = False
             # A server-side Mosaic crash wedges the remote compile
@@ -367,6 +397,11 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
                     if pallas_service_ok():
                         break
                     time.sleep(15)
+        if marker is not None:
+            try:
+                marker.write_text("1" if _KERNEL_OK[variant] else "0")
+            except OSError:
+                pass
     return _KERNEL_OK[variant]
 
 

@@ -337,15 +337,24 @@ def _metrics(im1_j, ip1_j, i_jm1, i_jp1):
     return g11, g12, g22
 
 
-def _interior_apply(base, v, cf):
+def _interior_apply(base, v, cf, G=None):
     """Apply the interior Winslow stencil (coefs frozen at `base`) to `v`.
 
     base, v: (B, N, M, 2); cf: (B, N, M, 2). Returns (B, N, M, 2) with the
     result in the interior slots [1:-1, 1:-1] and zeros elsewhere.
+    G: optional precomputed (B, N-2, M-2, 3) [g11, g12, g22] metric
+    stack — used by the f32 operator so the metric DIFFERENCES can be
+    formed in f64 and only then rounded (differencing closely-spaced
+    wall points in f32 loses ~4 digits and stalls iterative refinement
+    at high condition numbers).
     """
-    g11, g12, g22 = _metrics(
-        base[:, :-2, 1:-1], base[:, 2:, 1:-1], base[:, 1:-1, :-2], base[:, 1:-1, 2:]
-    )
+    if G is not None:
+        g11, g12, g22 = G[..., 0], G[..., 1], G[..., 2]
+    else:
+        g11, g12, g22 = _metrics(
+            base[:, :-2, 1:-1], base[:, 2:, 1:-1],
+            base[:, 1:-1, :-2], base[:, 1:-1, 2:]
+        )
     P = cf[:, 1:-1, 1:-1, 0]
     Q = cf[:, 1:-1, 1:-1, 1]
     g11 = g11[..., None]
@@ -524,11 +533,14 @@ class DeviceSmoother:
         val = Xf[sl_master] + scale * sl_off
         return Xf.at[sl_row].set(val, unique_indices=True)
 
-    def _apply(self, baseX, baseF, cf_pad, Vf, with_offsets):
+    def _apply(self, baseX, baseF, cf_pad, Vf, with_offsets,
+               G=None, cG=None):
         """Affine equation map. baseX: (B,N,M,2) frozen coords (stencil
         coefficients); baseF: its flat slave-substituted version; Vf: flat
         (B*N*M, 2) point values to apply the equations to. Returns flat
-        residuals over the free components."""
+        residuals over the free components. G/cG: optional precomputed
+        interior/connection metric stacks (f64-differenced, f32-stored —
+        see _interior_apply)."""
         p = self._plan_for(Vf.dtype)
         B, N, M = self.plan.B, self.plan.N, self.plan.M
 
@@ -536,7 +548,7 @@ class DeviceSmoother:
         V = Vf.reshape(B, N, M, 2)
 
         # interior rows
-        R = _interior_apply(baseX, V, cf_pad)
+        R = _interior_apply(baseX, V, cf_pad, G=G)
         R = jnp.where(p["interior_mask"][..., None], R, 0.0)
         Rf = R.reshape(-1, 2)
 
@@ -546,11 +558,14 @@ class DeviceSmoother:
         off_scale = jnp.asarray(with_offsets, Vf.dtype)
         if c_row.shape[0]:
             pi = off_scale * c_pi
-            im1_j = baseF[c_g0m]
-            ip1_j = baseF[c_g0p]
-            i_jm1 = baseF[c_in0]
-            i_jp1 = baseF[c_in1] - c_pi  # frozen coefficients always see the shift
-            g11, g12, g22 = _metrics(im1_j, ip1_j, i_jm1, i_jp1)
+            if cG is not None:
+                g11, g12, g22 = cG[:, 0], cG[:, 1], cG[:, 2]
+            else:
+                im1_j = baseF[c_g0m]
+                ip1_j = baseF[c_g0p]
+                i_jm1 = baseF[c_in0]
+                i_jp1 = baseF[c_in1] - c_pi  # frozen coefs see the shift
+                g11, g12, g22 = _metrics(im1_j, ip1_j, i_jm1, i_jp1)
 
             cf_row = cf_pad.reshape(-1, 2)[c_row]
             P = jnp.where(c_swap, cf_row[:, 1], cf_row[:, 0])
@@ -727,8 +742,35 @@ class DeviceSmoother:
         from .multigrid import build_glued_levels
 
         levels = build_glued_levels(baseX32, cf32, self._glue_dev)
+
+        # f64-differenced, f32-stored operator metrics: the f32 inner
+        # operator's coefficients are formed by differencing the *f64*
+        # frozen coordinates and only then rounding. Differencing
+        # closely-spaced wall points in f32 loses ~4 digits (relative
+        # error ~coordinate_scale * eps32 / wall_spacing), which at
+        # scale-15 clustering stalled f64-over-f32 iterative refinement
+        # at ~1e-4 relative residual; with f64-differenced coefficients
+        # the inner operator matches the true operator to ~eps32.
+        baseX64 = baseF.reshape(B, N, M, 2)
+        g11, g12, g22 = _metrics(
+            baseX64[:, :-2, 1:-1], baseX64[:, 2:, 1:-1],
+            baseX64[:, 1:-1, :-2], baseX64[:, 1:-1, 2:])
+        G = jnp.stack([g11, g12, g22], axis=-1).astype(jnp.float32)
+        p64 = self._jnp_plan
+        (c_row64, c_g0m64, c_g0p64, c_in064, c_in164,
+         *_r64, c_pi64, _sw) = p64["c"]
+        if c_row64.shape[0]:
+            cg11, cg12, cg22 = _metrics(
+                baseF[c_g0m64], baseF[c_g0p64], baseF[c_in064],
+                baseF[c_in164] - c_pi64)
+            cGm = jnp.stack([cg11, cg12, cg22],
+                            axis=-1).astype(jnp.float32)
+        else:
+            cGm = jnp.zeros((0, 3), jnp.float32)
+
         return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
                     lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
+                    G=G, cG=cGm,
                     mg=[dict(lv) for lv in levels])
 
     def _stage_A32(self, ctx, v):
@@ -737,7 +779,8 @@ class DeviceSmoother:
         baseF32 = ctx["baseF32"]
         baseX32 = baseF32.reshape(B, N, M, 2)
         return self._apply(baseX32, baseF32, ctx["cf32"], v,
-                           with_offsets=jnp.float32(0.0))
+                           with_offsets=jnp.float32(0.0),
+                           G=ctx["G"], cG=ctx["cG"])
 
     def _stage_vcycle_interior(self, ctx, vflat):
         """f32 glued multigrid V-cycle: block interiors + SMOOTHED
