@@ -27,6 +27,7 @@ oracle's full-system solution to solver tolerance.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 
 
@@ -35,6 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classify import BoundaryInfo, Kind
+
+_dev_log = logging.getLogger("turbomesh.device")
 
 # reference Krylov defaults (BiCGStab.zig:19-21)
 DEFAULT_RTOL = 1e-6
@@ -1237,12 +1240,16 @@ class DeviceSmoother:
                                             x, d, b)
             rn = float(rn_dev)
             k += 1
+            _dev_log.debug("refine pass %d: residual %.3e (tol %.3e)",
+                           k, rn, tol)
             if rn > 0.5 * prev:
                 break  # f32-operator stall — hand over to the f64 tail
             prev = rn
 
         met_s = False
         if rn > tol:
+            _dev_log.debug("refinement ended at %.3e after %d passes; "
+                           "f64 tail", rn, k)
             x, rn, met_s = self._f64_tail(baseF, C, ctx, b, x)
         if rn > tol and not met_s:
             # dual criterion as in _solve_impl: equilibrated (row-
@@ -1266,6 +1273,10 @@ class DeviceSmoother:
 
         b_s, _bn, bnorm_s = self._jit_equil(plans, ctx, b)
         tol_s = max(self.rtol * float(bnorm_s), self.atol)
+        _dev_log.debug("f64 tail: bnorm=%.3e bnorm_s=%.3e tol_s=%.3e "
+                       "restart=%d max_restarts=%d", float(_bn),
+                       float(bnorm_s), tol_s, self._staged_restart(),
+                       self.max_restarts)
         x1, rn_s, _it = host_fgmres(
             lambda v: self._jit_A64s(plans, baseF, C, ctx, v),
             lambda v: self._jit_Ms(plans, ctx, v),

@@ -284,10 +284,12 @@ def host_fgmres(A, M_inv, b, x0, rtol, atol, restart, max_restarts, *,
     x = x0
     rn = onp.inf
     iters = 0
-    for _ in range(max_restarts):
+    for cyc in range(max_restarts):
         r = axpy(b, A(x), -1.0)
         beta = float(norm(r))
         rn = beta
+        log.debug("host_fgmres cycle %d: residual %.3e (tol %.3e, %d iters)",
+                  cyc, beta, tol, iters)
         if beta <= tol:
             break
         V = [scale(r, 1.0 / beta)]
