@@ -452,9 +452,16 @@ class DeviceSmoother:
         from .multigrid import prep_glue_arrays
 
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
+        # keep_boundaries: boundary-aligned coarse lattices. With plain
+        # [::2] lattices, block axes whose lattice length goes even lose
+        # their far boundary at the next level (e.g. scale 15's
+        # 1501 -> 751 -> 376 chain) and the coarse Dirichlet moves up to
+        # 2^level cells inside the block — measured as a near-total
+        # V-I preconditioner stall at 5.4M nodes (0.995/iteration).
         self._glue = build_glue(mesh, info, p.N, p.M,
                                 n_levels=self.mg_opts["n_levels"],
-                                transposed=p.transposed)
+                                transposed=p.transposed,
+                                keep_boundaries=True)
         self._glue_dev = prep_glue_arrays(self._glue)
         # Every jitted program takes this pytree of device buffers as its
         # leading argument. Closing over the plan instead would bake the

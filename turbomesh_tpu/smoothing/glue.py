@@ -66,6 +66,46 @@ class GlueLevel:
     jdst: np.ndarray          # (L,)
     jsrc: np.ndarray          # (L, K) ghost-space stencil (padded w/ dst)
     jw: np.ndarray            # (L, K) weights (0 padding)
+    # boundary-aligned coarsening maps (build_glue(keep_boundaries=True)
+    # only, and only on levels where the plain [::2] lattice would lose
+    # a block's far boundary — None means "this level is stride-2
+    # aligned, use the fast slicing transfers"). li/lj map this level's
+    # ordinals to PARENT-level ordinals; p*_lo/p*_w give, per PARENT
+    # ordinal, the bracketing coarse ordinal and the weight of
+    # ordinal+1 for linear prolongation.
+    li_map: np.ndarray | None = None   # (B, N)
+    lj_map: np.ndarray | None = None   # (B, M)
+    pi_lo: np.ndarray | None = None    # (B, N_parent)
+    pi_w: np.ndarray | None = None     # (B, N_parent)
+    pj_lo: np.ndarray | None = None    # (B, M_parent)
+    pj_w: np.ndarray | None = None     # (B, M_parent)
+
+
+def _subsample_positions(n: int) -> np.ndarray:
+    """Coarse lattice positions inside a length-n parent lattice, always
+    keeping BOTH endpoints. For odd n this is exactly [0, 2, ..., n-1]
+    (the plain stride-2 lattice); for even n the stride-2 lattice loses
+    the far endpoint — the boundary line the coarse level must represent
+    as Dirichlet — so the positions are rounded-uniform with one
+    irregular interval instead (e.g. n=6 -> [0, 2, 5])."""
+    nc = (n - 1) // 2 + 1
+    if nc <= 1:
+        return np.zeros(1, dtype=np.int64)
+    return np.rint(np.linspace(0, n - 1, nc)).astype(np.int64)
+
+
+def _bracket(pos: np.ndarray, nf: int):
+    """Per parent ordinal f in [0, nf): bracketing coarse ordinal lo and
+    the linear weight w of ordinal lo+1, so that
+    value(f) = (1-w)*z[lo] + w*z[min(lo+1, nc-1)]. Exact lattice points
+    get w=0."""
+    f = np.arange(nf)
+    hi = np.clip(np.searchsorted(pos, f, side="left"), 0, len(pos) - 1)
+    lo = np.where(pos[hi] > f, np.maximum(hi - 1, 0), hi)
+    nxt = np.minimum(lo + 1, len(pos) - 1)
+    den = np.maximum(pos[nxt] - pos[lo], 1)
+    w = (f - pos[lo]) / den
+    return lo.astype(np.int64), w.astype(np.float64)
 
 
 def _decode_shift(shift: int, nj: int):
@@ -77,11 +117,23 @@ def _decode_shift(shift: int, nj: int):
 
 def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
                min_size: int = 5, n_levels: int | None = None,
-               transposed=None):
+               transposed=None, keep_boundaries: bool = False):
     """Build per-level glue maps + smooth masks for the padded stack.
 
     Returns a list of GlueLevel, finest first, with the same ladder the
     multigrid uses ((n-1)//2+1 coarsening of the padded dims).
+
+    ``keep_boundaries``: coarsen each block's lattice with
+    _subsample_positions (both endpoints always kept) instead of plain
+    [::2]. With [::2], any block axis of even lattice length loses its
+    far boundary at the next level and the coarse grid imposes
+    Dirichlet-0 on what is an interior fine line, up to 2^level cells
+    inside the block — at scales whose sizes go even high in the ladder
+    (e.g. 1501 -> 751 -> 376) this collapses the V-cycle's coarse
+    correction over widening strips and was measured as a near-total
+    preconditioner stall (contraction ~0.995/iteration at 5.4M nodes).
+    Levels whose lattices are stride-2 aligned anyway get no maps
+    (li_map=None), so aligned ladders keep byte-identical programs.
 
     ``transposed``: optional (B,) bool from DevicePlan — blocks stored
     (j, i) in the padded stack. All positions/lattices below are in the
@@ -121,6 +173,7 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
     Nl, Ml = N, M
     levels = []
     lvl = 0
+    pending_maps = {}  # coarsening maps attached to the NEXT level
     while True:
         # inverse lattice lookups
         inv_i = [np.full(sizes[b][0], -1, dtype=np.int64) for b in range(B)]
@@ -159,23 +212,28 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
                 ok[:, -1] = False
             smooth[b, : len(ii[b]), : len(jj[b])] = ok
 
-        step = 1 << lvl
         src_l, dst_l, off_l = [], [], []
 
         def nearest_lattice(f, b, axis):
-            """Fine index -> nearest lattice index on this level (clipped).
+            """Fine index -> nearest lattice ORDINAL on this level.
 
             Exact when the fine index is on the lattice; otherwise rounds
-            to the nearest multiple of 2^level — coarse-level glue must
-            NOT demand exact alignment: connection ranges start at
-            arbitrary offsets, so requiring both sides on-lattice loses
-            almost all entries below level ~2 (measured: 1690 -> 217 ->
-            47 -> 6 on the scale-1 T106), leaving smooth across-interface
-            error modes without any coarse correction — which was the
-            dominant Krylov cost. A nearest-point ghost is plenty for a
-            preconditioner."""
-            n = len((ii if axis == 0 else jj)[b])
-            return np.clip(np.rint(f / step).astype(np.int64), 0, n - 1)
+            to the nearest lattice point — coarse-level glue must NOT
+            demand exact alignment: connection ranges start at arbitrary
+            offsets, so requiring both sides on-lattice loses almost all
+            entries below level ~2 (measured: 1690 -> 217 -> 47 -> 6 on
+            the scale-1 T106), leaving smooth across-interface error
+            modes without any coarse correction — which was the dominant
+            Krylov cost. A nearest-point ghost is plenty for a
+            preconditioner. searchsorted (not rint(f/2^level)) because
+            keep_boundaries lattices are not exact powers-of-two grids."""
+            lat = (ii if axis == 0 else jj)[b]
+            f = np.asarray(f)
+            if len(lat) == 1:
+                return np.zeros(f.shape, dtype=np.int64)
+            k = np.clip(np.searchsorted(lat, f), 1, len(lat) - 1)
+            lo, hi = lat[k - 1], lat[k]
+            return np.where(f - lo <= hi - f, k - 1, k)
 
         # ghost entries per connection (side-0 SMOOTHED rows are relaxed;
         # side-1 faces are slaves whose adjacent interiors need no ghosts)
@@ -226,12 +284,23 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
             ok = (c_is >= 0) & (c_js >= 0)
             if np.any(ok):
                 bs_, bm_ = bs[ok], bm[ok]
-                len_i = np.array([len(ii[b]) for b in range(B)])
-                len_j = np.array([len(jj[b]) for b in range(B)])
-                c_im = np.clip(np.rint(im[ok] / step).astype(np.int64),
-                               0, len_i[bm_] - 1)
-                c_jm = np.clip(np.rint(jm[ok] / step).astype(np.int64),
-                               0, len_j[bm_] - 1)
+
+                def _nearest_vec(f, blocks, lats):
+                    out = np.empty(len(f), dtype=np.int64)
+                    for b in np.unique(blocks):
+                        m = blocks == b
+                        lat = lats[b]
+                        if len(lat) == 1:
+                            out[m] = 0
+                            continue
+                        k = np.clip(np.searchsorted(lat, f[m]),
+                                    1, len(lat) - 1)
+                        lo, hi = lat[k - 1], lat[k]
+                        out[m] = np.where(f[m] - lo <= hi - f[m], k - 1, k)
+                    return out
+
+                c_im = _nearest_vec(im[ok], bm_, ii)
+                c_jm = _nearest_vec(jm[ok], bm_, jj)
                 dst_l.append(gflat(bs_, c_is[ok], c_js[ok]))
                 src_l.append(gflat(bm_, c_im, c_jm))
                 off_l.append(np.asarray(info.slave_offsets,
@@ -307,16 +376,49 @@ def build_glue(mesh, info: BoundaryInfo, N: int, M: int,
             jdst=np.asarray(jdst, dtype=np.int64),
             jsrc=jsrc_a,
             jw=jw_a,
+            **pending_maps,
         ))
 
         if (n_levels is not None and len(levels) >= n_levels) or \
            min(Nl, Ml) <= min_size or \
            all(min(len(ii[b]), len(jj[b])) <= min_size for b in range(B)):
             break
-        ii = [a[::2] for a in ii]
-        jj = [a[::2] for a in jj]
-        Nl = (Nl - 1) // 2 + 1
-        Ml = (Ml - 1) // 2 + 1
+        Nc = (Nl - 1) // 2 + 1
+        Mc = (Ml - 1) // 2 + 1
+        pending_maps = {}
+        if keep_boundaries:
+            pos_i = [_subsample_positions(len(a)) for a in ii]
+            pos_j = [_subsample_positions(len(a)) for a in jj]
+            aligned = all(
+                len(p) == 1 or np.array_equal(p, 2 * np.arange(len(p)))
+                for p in pos_i + pos_j)
+            if not aligned:
+                li = np.zeros((B, Nc), dtype=np.int64)
+                lj = np.zeros((B, Mc), dtype=np.int64)
+                pil = np.zeros((B, Nl), dtype=np.int64)
+                piw = np.zeros((B, Nl), dtype=np.float64)
+                pjl = np.zeros((B, Ml), dtype=np.int64)
+                pjw = np.zeros((B, Ml), dtype=np.float64)
+                for b in range(B):
+                    li[b, : len(pos_i[b])] = pos_i[b]
+                    li[b, len(pos_i[b]):] = pos_i[b][-1]
+                    lj[b, : len(pos_j[b])] = pos_j[b]
+                    lj[b, len(pos_j[b]):] = pos_j[b][-1]
+                    lo, w = _bracket(pos_i[b], len(ii[b]))
+                    pil[b, : len(lo)], piw[b, : len(lo)] = lo, w
+                    pil[b, len(lo):] = lo[-1]
+                    lo, w = _bracket(pos_j[b], len(jj[b]))
+                    pjl[b, : len(lo)], pjw[b, : len(lo)] = lo, w
+                    pjl[b, len(lo):] = lo[-1]
+                pending_maps = dict(li_map=li, lj_map=lj,
+                                    pi_lo=pil, pi_w=piw,
+                                    pj_lo=pjl, pj_w=pjw)
+            ii = [a[p] for a, p in zip(ii, pos_i)]
+            jj = [a[p] for a, p in zip(jj, pos_j)]
+        else:
+            ii = [a[::2] for a in ii]
+            jj = [a[::2] for a in jj]
+        Nl, Ml = Nc, Mc
         lvl += 1
 
     return levels

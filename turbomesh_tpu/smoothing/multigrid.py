@@ -344,7 +344,7 @@ def prep_glue_arrays(glue_levels):
         ga_src = np.concatenate([gl.src[keep], gl.csrc])
         ga_dst = np.concatenate([gl.dst[keep], gl.cdst])
         ga_w = np.concatenate([np.ones((int(keep.sum()), 2)), gl.cw])
-        out.append(MGLevel(
+        rec = MGLevel(
             smooth_mask=jnp.asarray(gl.smooth_mask),
             gsrc=jnp.asarray(gl.src.astype(np.int32)),
             gdst=jnp.asarray(gl.dst.astype(np.int32)),
@@ -355,7 +355,19 @@ def prep_glue_arrays(glue_levels):
             gjdst=jnp.asarray(gl.jdst.astype(np.int32)),
             gjsrc=jnp.asarray(gl.jsrc.astype(np.int32)),
             gjw=jnp.asarray(gl.jw),
-        ))
+        )
+        if gl.li_map is not None:
+            # boundary-aligned coarsening maps (glue.GlueLevel docstring);
+            # present only on levels where [::2] would misalign, so
+            # aligned ladders keep an identical arg pytree (and compile
+            # cache entries)
+            rec["li_map"] = jnp.asarray(gl.li_map.astype(np.int32))
+            rec["lj_map"] = jnp.asarray(gl.lj_map.astype(np.int32))
+            rec["pi_lo"] = jnp.asarray(gl.pi_lo.astype(np.int32))
+            rec["pi_w"] = jnp.asarray(gl.pi_w)
+            rec["pj_lo"] = jnp.asarray(gl.pj_lo.astype(np.int32))
+            rec["pj_w"] = jnp.asarray(gl.pj_w)
+        out.append(rec)
     return out
 
 
@@ -378,9 +390,14 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
         glue_levels = prep_glue_arrays(glue_levels)
     levels = []
     for lvl, gl in enumerate(glue_levels):
+        im = gl.get("li_map") if isinstance(gl, dict) else None
         if lvl > 0:
-            base = base[:, ::2, ::2, :]
-            cf = cf[:, ::2, ::2, :]
+            if im is not None:
+                base = _subsample_mapped(base, im, gl["lj_map"])
+                cf = _subsample_mapped(cf, im, gl["lj_map"])
+            else:
+                base = base[:, ::2, ::2, :]
+                cf = cf[:, ::2, ::2, :]
         mask = gl["smooth_mask"] if masks is None else masks[lvl]
         if glue_fns is None:
             src, dst = gl["gsrc"], gl["gdst"]
@@ -416,11 +433,19 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
         lj = (jnp.where(mask, c_jm1, 0.0), diag, jnp.where(mask, c_jp1, 0.0))
         li = (jnp.where(mask, c_im1, 0.0), diag, jnp.where(mask, c_ip1, 0.0))
 
-        levels.append(MGLevel(baseg=baseg, cf=cf, interior=mask,
-                              diag=diag, lj=lj, li=li,
-                              gsrc=src, gdst=dst,
-                              gcsrc=csrc, gcdst=cdst, gcw=cw,
-                              gjdst=jdst, gjsrc=jsrc, gjw=jw))
+        rec = MGLevel(baseg=baseg, cf=cf, interior=mask,
+                      diag=diag, lj=lj, li=li,
+                      gsrc=src, gdst=dst,
+                      gcsrc=csrc, gcdst=cdst, gcw=cw,
+                      gjdst=jdst, gjsrc=jsrc, gjw=jw)
+        if im is not None:
+            # transfer maps for the boundary-aligned (non-stride-2)
+            # levels: li/lj_map drive _restrict_glued's gathers, p*_lo/_w
+            # drive _prolong_mapped (both relative to the PARENT level)
+            for key in ("li_map", "lj_map", "pi_lo", "pi_w",
+                        "pj_lo", "pj_w"):
+                rec[key] = gl[key]
+        levels.append(rec)
     return levels
 
 
@@ -612,15 +637,58 @@ def _smooth_glued(level: MGLevel, r, z, directions="ij", glue_fn=None):
     return z
 
 
-def _restrict_glued(level: MGLevel, r, coarse_shape, glue_fn=None):
-    """Full-weighting restriction using glued residual ghosts, so the
-    stencil at a face point weights the partner block's residuals."""
-    B, Nc, Mc = coarse_shape
-    rp = _glue_apply(r, level.gsrc, level.gdst, None, False, glue_fn)
+def _subsample_mapped(a, im, jm):
+    """Per-block gather subsample of a (B, N, M, C) stack with the
+    boundary-aligned lattice maps im (B, Nc) / jm (B, Mc)."""
+    a = jnp.take_along_axis(a, im[:, :, None, None], axis=1, mode="clip")
+    return jnp.take_along_axis(a, jm[:, None, :, None], axis=2, mode="clip")
 
-    def at(di, dj):
-        return rp[:, 1 + di : 1 + di + 2 * Nc - 1 : 2,
-                  1 + dj : 1 + dj + 2 * Mc - 1 : 2, :]
+
+def _prolong_mapped(zc, fine_shape, plo_i, pw_i, plo_j, pw_j):
+    """Linear prolongation along per-block bracketing maps (the
+    boundary-aligned generalization of _prolong; identical values on
+    stride-2 aligned lattices)."""
+    B, Nf, Mf = fine_shape
+    nc_i = zc.shape[1]
+    wi = pw_i.astype(zc.dtype)[:, :, None, None]
+    z1 = (jnp.take_along_axis(zc, plo_i[:, :, None, None], 1, mode="clip")
+          * (1.0 - wi)
+          + jnp.take_along_axis(zc, jnp.minimum(plo_i + 1, nc_i - 1)
+                                [:, :, None, None], 1, mode="clip") * wi)
+    nc_j = zc.shape[2]
+    wj = pw_j.astype(zc.dtype)[:, None, :, None]
+    z2 = (jnp.take_along_axis(z1, plo_j[:, None, :, None], 2, mode="clip")
+          * (1.0 - wj)
+          + jnp.take_along_axis(z1, jnp.minimum(plo_j + 1, nc_j - 1)
+                                [:, None, :, None], 2, mode="clip") * wj)
+    return z2
+
+
+def _restrict_glued(level: MGLevel, r, coarse, glue_fn=None):
+    """Full-weighting restriction using glued residual ghosts, so the
+    stencil at a face point weights the partner block's residuals.
+    ``coarse`` is the coarse MGLevel: when it carries boundary-aligned
+    lattice maps the 3x3 stencil gathers at the mapped parent ordinals
+    instead of stride-2 slicing (same weights)."""
+    B, Nc, Mc = coarse.interior.shape
+    rp = _glue_apply(r, level.gsrc, level.gdst, None, False, glue_fn)
+    im = coarse.get("li_map")
+
+    if im is None:
+        def at(di, dj):
+            return rp[:, 1 + di : 1 + di + 2 * Nc - 1 : 2,
+                      1 + dj : 1 + dj + 2 * Mc - 1 : 2, :]
+    else:
+        jm = coarse["lj_map"]
+        rows = {di: jnp.take_along_axis(
+                    rp, (im + 1 + di)[:, :, None, None], axis=1,
+                    mode="clip")
+                for di in (-1, 0, 1)}
+
+        def at(di, dj):
+            return jnp.take_along_axis(
+                rows[di], (jm + 1 + dj)[:, None, :, None], axis=2,
+                mode="clip")
 
     out = (4.0 * at(0, 0)
            + 2.0 * (at(1, 0) + at(-1, 0) + at(0, 1) + at(0, -1))
@@ -647,10 +715,16 @@ def v_cycle_glued(levels, r, level_idx=0, pre=1, post=1, coarse_iters=4,
 
     res = jnp.where(mask, r - _apply_glued(level, z, gfn), 0.0)
     coarse = levels[level_idx + 1]
-    rc = 16.0 * _restrict_glued(level, res, coarse.interior.shape, gfn)
+    rc = 16.0 * _restrict_glued(level, res, coarse, gfn)
     zc = v_cycle_glued(levels, rc, level_idx + 1, pre, post, coarse_iters,
                        pre_dirs, post_dirs, glue_fns)
-    z = z + jnp.where(mask, _prolong(zc, level.interior.shape), 0.0)
+    if coarse.get("pi_lo") is not None:
+        zf = _prolong_mapped(zc, level.interior.shape,
+                             coarse["pi_lo"], coarse["pi_w"],
+                             coarse["pj_lo"], coarse["pj_w"])
+    else:
+        zf = _prolong(zc, level.interior.shape)
+    z = z + jnp.where(mask, zf, 0.0)
 
     for _ in range(post):
         z = _smooth_glued(level, r, z, post_dirs, glue_fn=gfn)
