@@ -1249,8 +1249,13 @@ class DeviceSmoother:
             k += 1
             _dev_log.debug("refine pass %d: residual %.3e (tol %.3e)",
                            k, rn, tol)
-            if rn > 0.5 * prev:
-                break  # f32-operator stall — hand over to the f64 tail
+            # f32-operator stall -> hand over to the f64 tail. The break
+            # needs a pass gaining under ~30% (not 50%: post-alignment-
+            # fix passes legitimately decay 10x -> 5x -> 2x as the f32
+            # representation floor nears, and a 0.5 threshold bailed at
+            # 1.2e-8 with tol 1e-8 — one pass short, scale-15 probe)
+            if rn > 0.7 * prev:
+                break
             prev = rn
 
         met_s = False
@@ -1280,10 +1285,22 @@ class DeviceSmoother:
 
         b_s, _bn, bnorm_s = self._jit_equil(plans, ctx, b)
         tol_s = max(self.rtol * float(bnorm_s), self.atol)
+        tol_plain = max(self.rtol * float(_bn), self.atol)
         _dev_log.debug("f64 tail: bnorm=%.3e bnorm_s=%.3e tol_s=%.3e "
                        "restart=%d max_restarts=%d", float(_bn),
                        float(bnorm_s), tol_s, self._staged_restart(),
                        self.max_restarts)
+        zeros = self._jit_zeros(b)
+
+        def plain_rn(v):
+            return float(self._jit_refine(plans, baseF, C, zeros, v, b)[2])
+
+        # dual stop criterion INSIDE the tail: the equilibrated target
+        # (what the 1e-10 parity bar wants) OR the reference's plain
+        # criterion (GMRES.zig:21-24). Without the plain check the tail
+        # burned its whole budget chasing tol_s after the plain tolerance
+        # was already met (scale-15 probe: ~600 s for 0.7 digits while
+        # plain sat at 2.2e-9 vs tol 1e-8).
         x1, rn_s, _it = host_fgmres(
             lambda v: self._jit_A64s(plans, baseF, C, ctx, v),
             lambda v: self._jit_Ms(plans, ctx, v),
@@ -1293,10 +1310,9 @@ class DeviceSmoother:
             dot=lambda u, v: self._jit_dot(u, v),
             axpy=lambda w, v, a: self._jit_axpy(w, v, a),
             scale=lambda v, a: self._jit_scale(v, a),
-            norm=lambda v: self._jit_norm(v))
-        _x2, _r2, rn_plain = self._jit_refine(plans, baseF, C,
-                                              self._jit_zeros(b), x1, b)
-        return x1, float(rn_plain), rn_s <= tol_s
+            norm=lambda v: self._jit_norm(v),
+            stop_check=lambda v: plain_rn(v) <= tol_plain)
+        return x1, plain_rn(x1), rn_s <= tol_s
 
     def _staged_restart(self) -> int:
         """Krylov dimension m for the f64 tail: V (m+1) + Z (m) f64

@@ -257,7 +257,7 @@ def host_gmres(A, M_inv, b, rtol, atol, restart, max_restarts):
 
 
 def host_fgmres(A, M_inv, b, x0, rtol, atol, restart, max_restarts, *,
-                dot, axpy, scale, norm, warn_name=None):
+                dot, axpy, scale, norm, warn_name=None, stop_check=None):
     """Flexible restarted GMRES with host-side control flow and
     INJECTED jitted vector primitives — the large-mesh workhorse.
 
@@ -273,6 +273,9 @@ def host_fgmres(A, M_inv, b, x0, rtol, atol, restart, max_restarts, *,
 
     dot(u, v) -> device scalar; axpy(w, v, a) -> w + a*v (a: scalar);
     scale(v, a) -> a*v; norm(v) -> device scalar.
+    stop_check(x) -> bool: optional secondary stop criterion evaluated
+    once per restart cycle (e.g. the caller's PLAIN-residual tolerance
+    when this solve runs in an equilibrated frame); True ends the solve.
     Returns (x, rn, iters_done).
     """
     import numpy as onp
@@ -291,6 +294,8 @@ def host_fgmres(A, M_inv, b, x0, rtol, atol, restart, max_restarts, *,
         log.debug("host_fgmres cycle %d: residual %.3e (tol %.3e, %d iters)",
                   cyc, beta, tol, iters)
         if beta <= tol:
+            break
+        if stop_check is not None and stop_check(x):
             break
         V = [scale(r, 1.0 / beta)]
         Z = []
