@@ -75,6 +75,14 @@ def bench_scale(scale: int, picard_cap: int, oracle: bool):
     from turbomesh_tpu.smoothing.system import SparseSystem
 
     rec = {"scale_cells": scale}
+    # the "max-compilable" sweep entry (scale > 8, ~5.4M nodes at 15)
+    # runs a bounded number of Picard iterations: one staged linearized
+    # solve there takes ~4.5 min, so running to the 1e-10 Picard target
+    # would dominate the whole sweep. The per-solve convergence and
+    # throughput are what the entry documents; reached_target records
+    # that the Picard target was NOT chased.
+    if scale > 8:
+        picard_cap = min(picard_cap, 3)
     # granularity is auto-selected per mesh size (DeviceSmoother.
     # _prefer_staged: fused below ~3M padded points, staged above — the
     # fused program dies at dispatch beyond that on this runtime); clear
@@ -110,6 +118,7 @@ def bench_scale(scale: int, picard_cap: int, oracle: bool):
     rec["picard_iters"] = iters
     rec["seconds_to_1e-10"] = round(dt, 2)
     rec["reached_target"] = bool(disp < TARGET)
+    rec["picard_capped"] = scale > 8  # target not chased, see above
     rec["final_displacement_residual"] = float(disp)
     rec["device_mnodes_per_s"] = round(n * iters / dt / 1e6, 4)
     rec["granularity"] = dev.granularity
@@ -222,6 +231,6 @@ if __name__ == "__main__":
     import sys
 
     scales = ([int(x) for x in sys.argv[1].replace(",", " ").split()]
-              if len(sys.argv) > 1 else [1, 2, 4, 8])
+              if len(sys.argv) > 1 else [1, 2, 4, 8, 15])
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     main(scales, cap)
