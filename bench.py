@@ -159,24 +159,109 @@ def _install_warning_counter():
     return h
 
 
-def main(scales, picard_cap: int = 30):
+def _run_scale_subprocess(scale: int, picard_cap: int):
+    """Run one sweep entry in a SUBPROCESS. The tunneled TPU runtime's
+    worker process can crash outright on specific program sequences
+    (observed reproducibly on the scale-8 staged chain); once it dies,
+    every device call in the SAME process fails, but a fresh process
+    gets a restarted worker. Isolating each scale keeps one crash from
+    voiding the rest of the sweep."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    cmd = [_sys.executable, os.path.abspath(__file__),
+           "--one", str(scale), str(picard_cap)]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3 * WALL_CAP_S)
+    except subprocess.TimeoutExpired:
+        return {"scale_cells": scale, "error": "subprocess timeout"}
+    _sys.stderr.write(out.stderr[-4000:])
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = _json.loads(line)
+            if isinstance(rec, dict) and rec.get("scale_cells") == scale:
+                return rec
+        except ValueError:
+            continue
+    err = (out.stderr.strip().splitlines() or ["no output"])[-1]
+    return {"scale_cells": scale, "error": err[:200]}
+
+
+def _sor_probe():
+    """Pure on-chip SOR kernel rate + platform (runs inside a worker
+    subprocess — see _run_scale_subprocess's rationale)."""
     from turbomesh_tpu.ops.sor import red_black_sor
     import jax.numpy as jnp
 
-    _install_warning_counter()
     platform = jax.devices()[0].platform
+    nb = mb = 256
+    ub = np.linspace(0, 1, nb, dtype=np.float32)
+    eb = np.stack(np.meshgrid(ub, ub, indexing="ij"), -1)
+    imask = np.zeros((nb, mb), bool)
+    imask[1:-1, 1:-1] = True
+    cfb = np.zeros((nb, mb, 2), np.float32)
+    args = [jnp.asarray(eb), jnp.asarray(cfb), jnp.asarray(eb),
+            jnp.asarray(imask)]
+    use_pallas = platform == "tpu"
+    try:
+        x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
+        x.block_until_ready()
+    except Exception:  # flaky remote Pallas compiles — XLA fallback
+        use_pallas = False
+        x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
+        x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(10):
+        x = red_black_sor(*args, omega=1.5, sweeps=50, use_pallas=use_pallas)
+    x.block_until_ready()
+    rate = nb * mb * 50 * 10 / (time.perf_counter() - t0) / 1e6
+    return {"pallas_sor_mnode_sweeps_per_s": round(rate, 0),
+            "platform": platform}
+
+
+def _run_json_subprocess(args_tail, timeout_s):
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    cmd = [_sys.executable, os.path.abspath(__file__)] + args_tail
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    _sys.stderr.write(out.stderr[-4000:])
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            rec = _json.loads(line)
+            if isinstance(rec, dict):
+                return rec
+        except ValueError:
+            continue
+    return None
+
+
+def main(scales, picard_cap: int = 30):
+    # The parent stays OFF the device: every device-touching step (one
+    # per scale + the SOR probe) runs in its own subprocess, serialized.
+    # Rationale: the tunneled runtime's worker crashes outright on some
+    # program sequences and two attached processes wedge the chip.
     sweep = []
     t_all = time.perf_counter()
     for s in scales:
-        try:
-            sweep.append(bench_scale(s, picard_cap, oracle=s <= ORACLE_MAX))
-        except Exception as e:  # record partial sweeps honestly
-            import traceback
-
-            traceback.print_exc()  # full context to stderr for diagnosis
-            sweep.append({"scale_cells": s,
-                          "error": str(e).splitlines()[0][:200]})
-            break
+        rec = _run_scale_subprocess(s, picard_cap)
+        # the tunneled worker dies intermittently across workloads
+        # (observed on scale-1 fused AND scale-8 staged chains); it
+        # restarts for a fresh process, so crash-class failures get
+        # bounded retries after a cooldown
+        for _ in range(2):
+            if "error" not in rec or "UNAVAILABLE" not in rec["error"]:
+                break
+            time.sleep(60)
+            rec = _run_scale_subprocess(s, picard_cap)
+        sweep.append(rec)
         if time.perf_counter() - t_all > 4 * WALL_CAP_S:
             break
 
@@ -187,39 +272,7 @@ def main(scales, picard_cap: int = 30):
     vs = (ratio_rec.get("device_mnodes_per_s", 0.0)
           / ratio_rec["host_direct_mnodes_per_s"]) if both else 0.0
 
-    # pure on-chip Pallas SOR kernel rate (unchanged round-2 probe).
-    # Fully guarded: if the TPU worker died during the sweep (a known
-    # runtime failure mode), the sweep results must still be emitted.
-    sor_rate = 0.0
-    try:
-        nb = mb = 256
-        ub = np.linspace(0, 1, nb, dtype=np.float32)
-        eb = np.stack(np.meshgrid(ub, ub, indexing="ij"), -1)
-        imask = np.zeros((nb, mb), bool)
-        imask[1:-1, 1:-1] = True
-        cfb = np.zeros((nb, mb, 2), np.float32)
-        args = [jnp.asarray(eb), jnp.asarray(cfb), jnp.asarray(eb),
-                jnp.asarray(imask)]
-        use_pallas = platform == "tpu"
-        try:
-            x = red_black_sor(*args, omega=1.5, sweeps=50,
-                              use_pallas=use_pallas)
-            x.block_until_ready()
-        except Exception:  # flaky remote Pallas compiles — XLA fallback
-            use_pallas = False
-            x = red_black_sor(*args, omega=1.5, sweeps=50,
-                              use_pallas=use_pallas)
-            x.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(10):
-            x = red_black_sor(*args, omega=1.5, sweeps=50,
-                              use_pallas=use_pallas)
-        x.block_until_ready()
-        sor_rate = nb * mb * 50 * 10 / (time.perf_counter() - t0) / 1e6
-    except Exception:
-        import traceback
-
-        traceback.print_exc()
+    sor = _run_json_subprocess(["--sor"], 900) or {}
 
     print(json.dumps({
         "metric": "elliptic_smoothing_throughput",
@@ -232,14 +285,41 @@ def main(scales, picard_cap: int = 30):
             "vs_baseline_scale": ratio_rec.get("scale_cells"),
             "target_residual": TARGET,
             "sweep": sweep,
-            "pallas_sor_mnode_sweeps_per_s": round(sor_rate, 0),
-            "platform": platform,
+            "pallas_sor_mnode_sweeps_per_s": sor.get(
+                "pallas_sor_mnode_sweeps_per_s", 0.0),
+            "platform": sor.get("platform"),
         },
     }))
 
 
 if __name__ == "__main__":
     import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--sor":
+        try:
+            print(json.dumps(_sor_probe()))
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            traceback.print_exc()
+            print(json.dumps({"pallas_sor_mnode_sweeps_per_s": 0.0,
+                              "platform": None}))
+        sys.exit(0)
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        # subprocess worker: one scale, record as a JSON line on stdout
+        _install_warning_counter()
+        s1 = int(sys.argv[2])
+        cap1 = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+        try:
+            rec = bench_scale(s1, cap1, oracle=s1 <= ORACLE_MAX)
+        except Exception as e:  # noqa: BLE001 — report, don't crash silent
+            import traceback
+
+            traceback.print_exc()
+            rec = {"scale_cells": s1, "error": str(e).splitlines()[0][:200]}
+        print(json.dumps(rec))
+        sys.exit(0)
 
     scales = ([int(x) for x in sys.argv[1].replace(",", " ").split()]
               if len(sys.argv) > 1 else [1, 2, 4, 8, 15])

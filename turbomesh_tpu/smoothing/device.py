@@ -1214,8 +1214,18 @@ class DeviceSmoother:
         self.granularity = ("staged_hostinner"
                             if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
                             else "staged")
+        # Synchronize between the stage programs: the tunneled runtime's
+        # worker crashes ("UNAVAILABLE: TPU worker process crashed")
+        # when a dependent chain of large-buffer programs is queued
+        # unsynchronized at multi-million-point scale (reproduced at
+        # scale 8: base -> prepare32 -> norm queued back-to-back kills
+        # the worker; the identical cached programs run clean when
+        # pulled one at a time). The barriers cost milliseconds next to
+        # multi-second stage programs.
         baseF, b = self._jit_base(self._plans_arg, X, C)
+        jax.block_until_ready(b)
         ctx = self._jit_prepare32(self._plans_arg, baseF, C)
+        jax.block_until_ready(ctx)
         bnorm = float(self._jit_norm(b))
         tol = max(self.rtol * bnorm, self.atol)
 
