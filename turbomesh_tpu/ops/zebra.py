@@ -22,6 +22,7 @@ vectorize over all lines at once while ILU0 is inherently sequential.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 
@@ -329,19 +330,73 @@ def zebra_variant() -> str:
 
 _KERNEL_OK: dict[str, bool] = {}
 
+#: module-source hash: keys the persisted probe verdict to THIS kernel
+#: code, so a later kernel fix invalidates stale "0" markers instead of
+#: staying disabled until someone hand-deletes the file
+_SRC_HASH: str | None = None
+
+#: nesting counter for pallas_force_off() — a per-instance (not
+#: process-global-env) way for a smoother that hit a Pallas failure to
+#: disable the kernel while ITS programs trace, without leaking the
+#: degradation into other instances
+_FORCE_OFF = 0
+
+
+def _src_hash() -> str:
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import hashlib
+
+        try:
+            with open(__file__, "rb") as f:
+                _SRC_HASH = hashlib.sha1(f.read()).hexdigest()[:10]
+        except OSError:
+            _SRC_HASH = "unknown"
+    return _SRC_HASH
+
+
+@contextlib.contextmanager
+def pallas_force_off():
+    """Disable the Pallas zebra kernel while tracing inside this context
+    (checked by multigrid._use_zebra_pallas). Instance-scoped alternative
+    to mutating TURBOMESH_PALLAS in os.environ."""
+    global _FORCE_OFF
+    _FORCE_OFF += 1
+    try:
+        yield
+    finally:
+        _FORCE_OFF -= 1
+
+
+def pallas_forced_off() -> bool:
+    return _FORCE_OFF > 0
+
+
+def _transient_probe_failure(e) -> bool:
+    """Crash-class failures (wedged compile service, dead TPU worker)
+    say nothing about whether the KERNEL is acceptable — a verdict from
+    one must not be persisted, or a healthy runtime stays disabled for
+    every future process."""
+    s = str(e)
+    return ("UNAVAILABLE" in s or "worker process crashed" in s
+            or "ABORTED" in s or "DEADLINE" in s
+            or "TPU backend error" in s)
+
 
 def _probe_marker_path(variant: str):
     """Persist the probe verdict next to the persistent compilation
     cache so repeat processes skip the (multi-minute on this runtime)
-    probe compiles. Returns None when no cache dir is configured."""
-    import os
+    probe compiles. The filename is keyed to the kernel source hash —
+    a kernel change re-probes. Returns None when no cache dir is
+    configured."""
     import pathlib
 
     loc = jax.config.jax_compilation_cache_dir
     if not loc:
         return None
     return (pathlib.Path(loc) /
-            f"zebra_probe_{variant}_{jax.default_backend()}.ok")
+            f"zebra_probe_{variant}_{jax.default_backend()}_"
+            f"{_src_hash()}.ok")
 
 
 def zebra_kernel_ok(variant: str = "thomas") -> bool:
@@ -363,6 +418,7 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
         if marker is not None and marker.exists():
             _KERNEL_OK[variant] = marker.read_text().strip() == "1"
             return _KERNEL_OK[variant]
+        transient = False
         try:
             ok = True
             for (B, Ng, Mg), axis in (((1, 8, 128), 0),
@@ -382,6 +438,7 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
             _KERNEL_OK[variant] = ok
         except Exception as e:  # noqa: BLE001 — any compile failure disables
             _KERNEL_OK[variant] = False
+            transient = _transient_probe_failure(e)
             # A server-side Mosaic crash wedges the remote compile
             # helper for minutes, and the caller is typically about to
             # compile the real (non-Pallas) program — wait the wedge out
@@ -397,7 +454,11 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
                     if pallas_service_ok():
                         break
                     time.sleep(15)
-        if marker is not None:
+        # persist deterministic verdicts only: a "0" caused by a wedged
+        # compile service / crashed worker would permanently disable the
+        # kernel for every future process on a runtime that is otherwise
+        # healthy
+        if marker is not None and not (transient and not _KERNEL_OK[variant]):
             try:
                 marker.write_text("1" if _KERNEL_OK[variant] else "0")
             except OSError:

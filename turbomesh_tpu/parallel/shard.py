@@ -151,6 +151,9 @@ class ShardedSmoother:
             devices = jax.devices()
             if n_devices is not None:
                 devices = devices[:n_devices]
+        from ..smoothing.device import ensure_compilation_cache
+
+        ensure_compilation_cache()
         self.devices = devices
         D = len(devices)
         self.rtol, self.atol = rtol, atol

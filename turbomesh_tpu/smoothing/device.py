@@ -45,7 +45,10 @@ DEFAULT_ATOL = 1e-8
 DEFAULT_MAX_ITERS = 1000
 
 
-def _setup_compilation_cache() -> None:
+_CACHE_CONFIGURED = False
+
+
+def ensure_compilation_cache() -> None:
     """Enable JAX's persistent compilation cache for the device programs.
 
     The fused device programs are compile-heavy (the scale-8 / 1.5M-node
@@ -57,10 +60,20 @@ def _setup_compilation_cache() -> None:
     running from a checkout, else ~/.cache/turbomesh_tpu/jax.
     Only programs that took >= 2 s to compile are stored, so the cache
     stays small. TURBOMESH_JAX_CACHE=0 disables.
+
+    Called from smoother construction (not at import): importing the
+    library must not mutate global JAX config for the host application,
+    and an application-configured cache dir is always respected.
     """
+    global _CACHE_CONFIGURED
+    if _CACHE_CONFIGURED:
+        return
+    _CACHE_CONFIGURED = True
     loc = os.environ.get("TURBOMESH_JAX_CACHE")
     if loc == "0":
         return
+    if jax.config.jax_compilation_cache_dir:
+        return  # application already configured a cache — leave it alone
     if not loc:
         import pathlib
 
@@ -75,9 +88,6 @@ def _setup_compilation_cache() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # noqa: BLE001 — cache is an optimization only
         pass
-
-
-_setup_compilation_cache()
 
 
 def _recoverable_failure(e) -> bool:
@@ -399,6 +409,7 @@ class DeviceSmoother:
                  restart: int = 10, max_restarts: int = 100,
                  max_iters: int | None = None, max_refine: int = 20,
                  mg_opts: dict | None = None):
+        ensure_compilation_cache()
         self.plan = build_plan(mesh, info)
         # STORAGE-frame block extents (transposed blocks store (nj, ni))
         self._block_sizes = [
@@ -419,6 +430,13 @@ class DeviceSmoother:
         #: "fused_nopallas", "staged", "staged_hostinner", "host_krylov")
         #: — reported by the bench sweep alongside throughput
         self.granularity = "fused"
+        # degradation state is INSTANCE-scoped (not os.environ, which
+        # would leak one instance's failures into unrelated smoothers,
+        # later meshes in the same process, and tests); the TURBOMESH_*
+        # env vars remain user overrides only
+        self._force_staged = False
+        self._no_pallas = False
+        self._force_host_inner = False
         p = self.plan
 
         def _as_dev(x):
@@ -507,12 +525,22 @@ class DeviceSmoother:
         otherwise embed as an HLO literal)."""
 
         def wrapped(plans, *args):
+            import contextlib
+
+            from ..ops.zebra import pallas_force_off
+
             saved = (self._jnp_plan, self._jnp_plan32, self._glue_dev)
             self._jnp_plan = plans["p64"]
             self._jnp_plan32 = plans["p32"]
             self._glue_dev = plans["glue"]
+            # instance-scoped Pallas disable: active only while THIS
+            # smoother's programs trace (multigrid._use_zebra_pallas
+            # checks it at trace time)
+            cm = (pallas_force_off() if self._no_pallas
+                  else contextlib.nullcontext())
             try:
-                return fn(*args)
+                with cm:
+                    return fn(*args)
             finally:
                 (self._jnp_plan, self._jnp_plan32,
                  self._glue_dev) = saved
@@ -905,7 +933,8 @@ class DeviceSmoother:
         # ~0.2 s/solve) — run it fused by default everywhere. Set
         # TURBOMESH_FUSED_INNER=0 to fall back to host-orchestrated
         # per-piece jits on runtimes where the large program fails.
-        fused = os.environ.get("TURBOMESH_FUSED_INNER", "1") == "1"
+        fused = (not self._force_host_inner
+                 and os.environ.get("TURBOMESH_FUSED_INNER", "1") == "1")
         if fused:
             return self._jit_inner(self._plans_arg, ctx, C, rpad)
 
@@ -983,7 +1012,7 @@ class DeviceSmoother:
             log.warning(
                 "fused solve failed (%s); retrying without "
                 "the Pallas smoother", str(e).splitlines()[0][:120])
-            os.environ["TURBOMESH_PALLAS"] = "0"
+            self._no_pallas = True
             self._solve_jit = self._swap_jit(self._solve_impl)
             self.granularity = "fused_nopallas"
             try:
@@ -1083,7 +1112,7 @@ class DeviceSmoother:
                             "switching to the staged stepper (field stays "
                             "in HBM)", str(e).splitlines()[0][:120])
                         use_staged = True
-                        os.environ["TURBOMESH_FUSED_SOLVE"] = "0"
+                        self._force_staged = True
                         continue  # retry this iteration staged
                     log.warning(
                         "device-resident loop: staged solve failed (%s); "
@@ -1157,6 +1186,8 @@ class DeviceSmoother:
         threshold default to staged up front instead of burning the
         fused compile. TURBOMESH_FUSED_SOLVE=1 forces fused, =0 forces
         staged; TURBOMESH_FUSED_MAX_MPTS moves the threshold."""
+        if self._force_staged:  # instance degradation: fused already died
+            return True
         gate = os.environ.get("TURBOMESH_FUSED_SOLVE")
         if gate == "1":
             return False
@@ -1212,7 +1243,8 @@ class DeviceSmoother:
         from .krylov import _warn_nonconverged
 
         self.granularity = ("staged_hostinner"
-                            if os.environ.get("TURBOMESH_FUSED_INNER") == "0"
+                            if (self._force_host_inner or
+                                os.environ.get("TURBOMESH_FUSED_INNER") == "0")
                             else "staged")
         # Synchronize between the stage programs: the tunneled runtime's
         # worker crashes ("UNAVAILABLE: TPU worker process crashed")
@@ -1239,7 +1271,7 @@ class DeviceSmoother:
                 d = self._inner_solve(ctx, C, r)
                 jax.block_until_ready(d)  # runtime failures surface here
             except Exception as e:  # noqa: BLE001 — degrade granularity
-                if not _recoverable_failure(e) \
+                if not _recoverable_failure(e) or self._force_host_inner \
                         or os.environ.get("TURBOMESH_FUSED_INNER") == "0":
                     raise
                 import logging
@@ -1248,7 +1280,7 @@ class DeviceSmoother:
                     "fused inner solver failed (%s); degrading to "
                     "host-orchestrated per-piece programs",
                     str(e).splitlines()[0][:120])
-                os.environ["TURBOMESH_FUSED_INNER"] = "0"
+                self._force_host_inner = True
                 self.granularity = "staged_hostinner"
                 continue  # retry this pass through the host inner
             # one jitted program per pass: x += masked d, fresh residual,
@@ -1328,7 +1360,7 @@ class DeviceSmoother:
         """Krylov dimension m for the f64 tail: V (m+1) + Z (m) f64
         basis vectors live as separate device buffers — (2m+1) * P * 16
         bytes next to the fields and the MG hierarchy. Cap the basis
-        budget (default 4 GB, TURBOMESH_KRYLOV_BYTES) so multi-million-
+        budget (default 6 GB, TURBOMESH_KRYLOV_BYTES) so multi-million-
         point meshes fit HBM (at 15.87M padded points a restart=10
         basis alone is 5.3 GB; the one-program cycle formulation
         ResourceExhausted a 16 GB chip)."""

@@ -528,8 +528,11 @@ def _use_zebra_pallas(level: MGLevel) -> bool:
     kernel's VMEM budget. TURBOMESH_PALLAS=0 opts out."""
     import os
 
-    from ..ops.zebra import (pallas_service_ok, zebra_kernel_ok,
-                             zebra_supported, zebra_variant)
+    from ..ops.zebra import (pallas_forced_off, pallas_service_ok,
+                             zebra_kernel_ok, zebra_supported, zebra_variant)
+
+    if pallas_forced_off():  # instance-scoped degradation (device.py)
+        return False
 
     # TURBOMESH_PALLAS: "0" forces off, "1" forces on (past the probes),
     # unset = AUTO — enable when the backend is TPU and the production
