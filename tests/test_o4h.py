@@ -73,8 +73,9 @@ def test_o4h_connection_coincidence_t106(t106_mesh):
 
 
 def test_o4h_connection_coincidence_ls89(ls89_mesh):
-    """LS89's example config leaves pitch unscaled -> O(30) coordinates; the
-    scale-aware default tolerance (a few ulp) must pass."""
+    """LS89's mm-unit config (scale 1e-3 applied to profile AND pitch,
+    gui/main.zig:45) — the scale-aware default tolerance (a few ulp)
+    must pass on its O(0.08) coordinates."""
     _, mesh = ls89_mesh
     check_connections(mesh)
 

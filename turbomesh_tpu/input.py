@@ -132,7 +132,12 @@ def load(path_or_dict, base_dir: str | None = None) -> Input:
     return Input(
         template=templates_mod.from_config(cfg["template"]),
         smoothing=smoothing,
-        pitch=Float(geo["pitch"]),
+        # the reference scales the pitch by the geometry scale factor
+        # along with the profile (gui/main.zig:45, wasm/lib.zig:41:
+        # Geometry.init(input.geometry.scale * input.geometry.pitch, ..));
+        # LS89's mm-coordinates (scale 1e-3, pitch 57.5) are inconsistent
+        # without it — pitch 1600x chord — and White smoothing diverges
+        pitch=Float(geo["pitch"]) * Float(scale),
         profile=profile,
         output=cfg.get("output"),
         gui=cfg.get("gui"),
