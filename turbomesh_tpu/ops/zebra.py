@@ -415,9 +415,18 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
     cache (delete the marker file to re-probe)."""
     if variant not in _KERNEL_OK:
         marker = _probe_marker_path(variant)
+        prior_transient = False
         if marker is not None and marker.exists():
-            _KERNEL_OK[variant] = marker.read_text().strip() == "1"
-            return _KERNEL_OK[variant]
+            txt = marker.read_text().strip()
+            if txt in ("0", "1"):
+                _KERNEL_OK[variant] = txt == "1"
+                return _KERNEL_OK[variant]
+            # "t1": the last probe failed for a transient crash-class
+            # reason (wedged service / dead worker) — re-probe ONCE more;
+            # a second transient failure disables this kernel version
+            # (the probe itself can kill the TPU worker on this runtime,
+            # so unbounded re-probing would crash every future process)
+            prior_transient = txt == "t1"
         transient = False
         try:
             ok = True
@@ -454,13 +463,16 @@ def zebra_kernel_ok(variant: str = "thomas") -> bool:
                     if pallas_service_ok():
                         break
                     time.sleep(15)
-        # persist deterministic verdicts only: a "0" caused by a wedged
-        # compile service / crashed worker would permanently disable the
-        # kernel for every future process on a runtime that is otherwise
-        # healthy
-        if marker is not None and not (transient and not _KERNEL_OK[variant]):
+        # Deterministic verdicts persist as 0/1. A transient crash-class
+        # failure persists as "t1" the first time (one more process may
+        # re-probe — the wedge may have been incidental) and hardens to
+        # "0" the second time: unbounded re-probing is worse than a
+        # false disable, because the probe itself can kill the worker.
+        if marker is not None:
+            val = "1" if _KERNEL_OK[variant] else (
+                "0" if not transient else ("0" if prior_transient else "t1"))
             try:
-                marker.write_text("1" if _KERNEL_OK[variant] else "0")
+                marker.write_text(val)
             except OSError:
                 pass
     return _KERNEL_OK[variant]

@@ -165,6 +165,7 @@ class ShardedSmoother:
         # layout (see device.build_plan)
         plan = build_plan(mesh, info, transpose=False)
         self.base_plan = plan
+        self._mesh = mesh
         B0, N, M = plan.B, plan.N, plan.M
         B = ((B0 + D - 1) // D) * D  # pad with dummy blocks
         self.B, self.N, self.M, self.D = B, N, M, D
@@ -183,15 +184,36 @@ class ShardedSmoother:
         self.scatter_idx = plan.scatter_idx  # into (B0*N*M); B padding appended after
 
         # glued multigrid ladder: smooth masks (interior + SMOOTHED faces)
-        # padded to B blocks; glue maps split into local / cross-device
+        # padded to B blocks; glue maps split into local / cross-device.
+        # keep_boundaries: boundary-aligned coarse lattices — with plain
+        # [::2] lattices any block axis of even lattice length loses its
+        # far boundary at the next level and the coarse Dirichlet moves
+        # up to 2^level cells inside the block (the near-total V-I
+        # preconditioner stall measured single-chip at 5.4M nodes; see
+        # glue.build_glue). The per-BLOCK transfer maps ride shard_map
+        # as per-device operand slices (mg_maps below).
         from ..smoothing.glue import build_glue
 
-        self.glue_levels = build_glue(mesh, info, N, M)
+        self.glue_levels = build_glue(mesh, info, N, M,
+                                      keep_boundaries=True)
         self.mg_masks = []
+        self.mg_maps = []   # per level: None | dict of per-block arrays
         for gl in self.glue_levels:
             m = np.zeros((B, gl.N, gl.M), dtype=bool)
             m[:B0] = gl.smooth_mask
             self.mg_masks.append(m)
+            if gl.li_map is None:
+                self.mg_maps.append(None)
+            else:
+                def padB(a):
+                    out = np.zeros((B,) + a.shape[1:], dtype=a.dtype)
+                    out[:B0] = a
+                    return out
+
+                self.mg_maps.append(dict(
+                    li_map=padB(gl.li_map), lj_map=padB(gl.lj_map),
+                    pi_lo=padB(gl.pi_lo), pi_w=padB(gl.pi_w),
+                    pj_lo=padB(gl.pj_lo), pj_w=padB(gl.pj_w)))
 
         self._build_shard_plans(mesh, info)
         self._build_glue_plans()
@@ -571,7 +593,7 @@ class ShardedSmoother:
 
             return glue
 
-        def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks):
+        def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks, mg_maps):
             """One linearized solve on the sharded state."""
             from ..smoothing.krylov import restarted_fgmres, thomas
             from ..smoothing.multigrid import build_glued_levels, v_cycle_glued
@@ -599,7 +621,8 @@ class ShardedSmoother:
                         for lvl in range(len(glue_ex))]
             levels = build_glued_levels(baseX32, cf32, self.glue_levels,
                                         glue_fns=glue_fns,
-                                        masks=list(mg_masks))
+                                        masks=list(mg_masks),
+                                        maps=list(mg_maps))
 
             baseF32 = baseX32.reshape(-1, 2)
             cg11, _, cg22 = _metrics(
@@ -701,15 +724,19 @@ class ShardedSmoother:
             plan_leaves[f"glX{lvl}_valid"] = xvalid
         spec_state = P("b")
         mg_specs = tuple(P("b") for _ in self.mg_masks)
+        # transfer-map pytree: None levels vanish as pytree leaves, so a
+        # single P("b") prefix spec shards every per-block map array on
+        # the device axis
+        map_specs = tuple(P("b") for _ in self.mg_maps)
 
         @partial(jax.shard_map, mesh=self.jmesh,
                  in_specs=(spec_state, spec_state, spec_state,
-                           spec_state, P("b"), mg_specs),
+                           spec_state, P("b"), mg_specs, map_specs),
                  out_specs=(spec_state, P(), P()),
                  check_vma=False)
-        def run(X, cf, im, fm, pl, mg_masks):
+        def run(X, cf, im, fm, pl, mg_masks, mg_maps):
             q = {k: v[0] for k, v in pl.items()}  # this device's plan slice
-            return solve(q, X, cf, im, fm, list(mg_masks))
+            return solve(q, X, cf, im, fm, list(mg_masks), list(mg_maps))
 
         def outer(X, cf):
             def _as_dev(v):
@@ -722,26 +749,94 @@ class ShardedSmoother:
             im = jnp.asarray(self.interior_mask)
             fm = jnp.asarray(self.free_mask)
             mg = tuple(jnp.asarray(m) for m in self.mg_masks)
-            return run(X, cf, im, fm, pl, mg)
+            mp = tuple(
+                None if m is None else {k: _as_dev(v) for k, v in m.items()}
+                for m in self.mg_maps)
+            return run(X, cf, im, fm, pl, mg, mp)
 
         return outer
 
     # -------------------------------------------------------------- host API
 
-    def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
+    def _pad_global(self, field: np.ndarray):
+        """(P, 2) global-space field -> (B, N, M, 2) padded device stack."""
         B, N, M = self.B, self.N, self.M
-        Xp = np.zeros((B * N * M, 2))
-        Xp.reshape(-1, 2)[: self.base_plan.B * N * M][self.scatter_idx] = coords
-        cfp = np.zeros((B * N * M, 2))
-        cfp.reshape(-1, 2)[: self.base_plan.B * N * M][self.scatter_idx] = cf
-        Xout, rn, nrestarts = self._solve_jit(
-            jnp.asarray(Xp.reshape(B, N, M, 2)),
-            jnp.asarray(cfp.reshape(B, N, M, 2)),
-        )
+        buf = np.zeros((B * N * M, 2))
+        buf[: self.base_plan.B * N * M][self.scatter_idx] = field
+        return jnp.asarray(buf.reshape(B, N, M, 2))
+
+    def _unpad(self, stack) -> np.ndarray:
+        out = np.asarray(stack).reshape(-1, 2)
+        return out[: self.base_plan.B * self.N * self.M][self.scatter_idx]
+
+    def solve(self, coords: np.ndarray, cf: np.ndarray) -> np.ndarray:
+        Xout, rn, nrestarts = self._solve_jit(self._pad_global(coords),
+                                              self._pad_global(cf))
         self.last_linear_residual = float(rn)
         #: FGMRES restart cycles of the last solve (iterations =
         #: restarts * restart) — the multi-chip scaling artifact records
         #: this staying flat as n_devices grows
         self.last_restarts = int(nrestarts)
-        out = np.asarray(Xout).reshape(-1, 2)
-        return out[: self.base_plan.B * N * M][self.scatter_idx]
+        return self._unpad(Xout)
+
+    def run(self, coords: np.ndarray, cf: np.ndarray, iterations: int,
+            algorithm=None, start_iteration: int = 0,
+            target_residual: float | None = None,
+            residual_history: list | None = None,
+            checkpoint_cb=None, checkpoint_every: int = 10):
+        """Device-resident sharded Picard loop: the coordinate stack
+        stays SHARDED across iterations (out_specs P('b') keeps the
+        solve's output distributed; passing it straight back in avoids
+        any gather), the White control-function update runs as a jitted
+        program over the sharded global array (XLA partitions it — the
+        update touches only wall-block rows once per iteration), and one
+        scalar pair crosses to the host per iteration. The multi-chip
+        counterpart of DeviceSmoother.run (reference outer loop:
+        smooth.zig:104-153); full fields leave the devices only at
+        checkpoints and once at the end.
+
+        Returns (coords, cf, last_displacement_residual, iterations_run).
+        """
+        import logging
+
+        from ..smoothing.control_function import make_device_update
+        from ..smoothing.device import device_jit
+        from ..smoothing.krylov import _warn_nonconverged
+
+        log = logging.getLogger("turbomesh.smoothing")
+        upd = (make_device_update(algorithm, self._mesh, self.base_plan)
+               if algorithm is not None else None)
+        disp_fn = device_jit(lambda a, b2: jnp.sum((a - b2) ** 2))
+
+        X = self._pad_global(coords)
+        C = self._pad_global(cf)
+        disp = np.inf
+        n_done = start_iteration
+        for n in range(start_iteration, iterations):
+            log.info("iteration: %d", n)
+            if n > 0 and upd is not None:
+                C = upd(X, C)
+            Xn, rn, nrestarts = self._solve_jit(X, C)
+            # padded lanes are zero in both fields, so the padded sum
+            # equals the global-space displacement norm (smooth.zig:136)
+            d2 = float(disp_fn(Xn, X))
+            disp = d2 * d2
+            X = Xn
+            self.last_linear_residual = rn = float(rn)
+            self.last_restarts = int(nrestarts)
+            if self.last_restarts >= self.max_restarts:
+                _warn_nonconverged("sharded fgmres",
+                                   self.restart * self.max_restarts, rn,
+                                   self.atol)
+            log.info("\tresidual: %.6e", disp)
+            if residual_history is not None:
+                residual_history.append(disp)
+            n_done = n + 1
+            if target_residual is not None and disp < target_residual:
+                log.info("converged: residual %.3e < target %.3e at "
+                         "iteration %d", disp, target_residual, n)
+                break
+            if checkpoint_cb is not None and n_done % checkpoint_every == 0:
+                checkpoint_cb(self._unpad(X), self._unpad(C), n_done)
+
+        return self._unpad(X), self._unpad(C), disp, n_done

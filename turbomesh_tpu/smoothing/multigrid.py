@@ -371,7 +371,12 @@ def prep_glue_arrays(glue_levels):
     return out
 
 
-def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
+#: transfer-map field names for boundary-aligned (non-stride-2) levels
+MAP_KEYS = ("li_map", "lj_map", "pi_lo", "pi_w", "pj_lo", "pj_w")
+
+
+def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None,
+                       maps=None):
     """Build the glued hierarchy. base/cf: (B, N, M, 2) padded stacks
     (finest); glue_levels: list of prep_glue_arrays dicts (possibly
     traced jit arguments) or of glue.GlueLevel records (host-static,
@@ -384,17 +389,27 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
     ghost-augmented array`` replacing the local gather glue — used by the
     sharded path where some glue entries cross devices (ppermute).
     masks: optional per-level smooth masks overriding gl.smooth_mask
-    (per-device slices inside shard_map)."""
+    (per-device slices inside shard_map).
+    maps: optional per-level boundary-aligned transfer maps (None or a
+    dict with MAP_KEYS) overriding the ones carried by glue_levels —
+    used by the sharded path, where the per-BLOCK map arrays must be
+    per-device slices (traced shard_map operands), not host constants."""
     if glue_fns is None and glue_levels \
             and not isinstance(glue_levels[0], dict):
         glue_levels = prep_glue_arrays(glue_levels)
     levels = []
     for lvl, gl in enumerate(glue_levels):
-        im = gl.get("li_map") if isinstance(gl, dict) else None
+        if maps is not None:
+            mp = maps[lvl]
+        elif isinstance(gl, dict) and "li_map" in gl:
+            mp = {k: gl[k] for k in MAP_KEYS}
+        else:
+            mp = None
+        im = None if mp is None else mp["li_map"]
         if lvl > 0:
             if im is not None:
-                base = _subsample_mapped(base, im, gl["lj_map"])
-                cf = _subsample_mapped(cf, im, gl["lj_map"])
+                base = _subsample_mapped(base, im, mp["lj_map"])
+                cf = _subsample_mapped(cf, im, mp["lj_map"])
             else:
                 base = base[:, ::2, ::2, :]
                 cf = cf[:, ::2, ::2, :]
@@ -442,9 +457,8 @@ def build_glued_levels(base, cf, glue_levels, glue_fns=None, masks=None):
             # transfer maps for the boundary-aligned (non-stride-2)
             # levels: li/lj_map drive _restrict_glued's gathers, p*_lo/_w
             # drive _prolong_mapped (both relative to the PARENT level)
-            for key in ("li_map", "lj_map", "pi_lo", "pi_w",
-                        "pj_lo", "pj_w"):
-                rec[key] = gl[key]
+            for key in MAP_KEYS:
+                rec[key] = mp[key]
         levels.append(rec)
     return levels
 

@@ -55,7 +55,29 @@ def _solver_name(option) -> tuple[str, str]:
         return option, precond
     if option in ("device", "jacobi_cg", "sor"):
         return "device", precond
+    if option == "sharded":
+        return "sharded", precond
     raise ValueError(f"unknown solver option {option!r}")
+
+
+def _auto_shard(backend: str) -> str:
+    """Auto-select the multi-chip path: a "device" request on a real
+    multi-chip TPU runtime runs block-sharded across all chips
+    (parallel.ShardedSmoother) unless TURBOMESH_SHARDED=0 opts out;
+    TURBOMESH_SHARDED=1 forces sharding on any multi-device runtime
+    (e.g. the virtual CPU mesh)."""
+    import os
+
+    import jax
+
+    gate = os.environ.get("TURBOMESH_SHARDED", "auto")
+    if backend != "device" or gate == "0":
+        return backend
+    if len(jax.devices()) < 2:
+        return backend
+    if gate == "1" or jax.default_backend() == "tpu":
+        return "sharded"
+    return backend
 
 
 def smooth_mesh(mesh, iterations: int, solver="direct",
@@ -86,8 +108,13 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
     algorithm = cf_from_config(wall_control_function)
     backend, precond = _solver_name(solver)
 
+    backend = _auto_shard(backend)
     with timer.phase("solver_setup"):
-        if backend == "device":
+        if backend == "sharded":
+            from ..parallel import ShardedSmoother
+
+            smoother = ShardedSmoother(mesh, info, rtol=1e-4, atol=1e-11)
+        elif backend == "device":
             from .device import DeviceSmoother
 
             # inexact Picard: 1e-4 relative reduction per linearized solve
@@ -110,11 +137,12 @@ def smooth_mesh(mesh, iterations: int, solver="direct",
 
     coords = mesh.flat_coords()
 
-    if backend == "device":
-        # device-resident Picard loop: the field stays in HBM across
-        # iterations (White update is a jitted device program); only the
-        # per-iteration stats vector crosses the tunnel. The reference's
-        # outer loop (smooth.zig:104-153) with TPU-native data residency.
+    if backend in ("device", "sharded"):
+        # device-resident Picard loop: the field stays in HBM (sharded:
+        # distributed across chips) across iterations (White update is a
+        # jitted device program); only the per-iteration stats vector
+        # crosses the tunnel. The reference's outer loop
+        # (smooth.zig:104-153) with TPU-native data residency.
         def checkpoint_cb(c, f, n_done):
             from ..checkpoint import save_checkpoint
 
