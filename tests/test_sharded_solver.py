@@ -195,7 +195,14 @@ def test_sharded_run_loop_matches_device_run():
                          n_devices=min(8, len(jax.devices())),
                          rtol=1e-10, atol=1e-12)
     cs, cfs, hs = run_one(sh)
-    assert np.abs(cd - cs).max() < 1e-7, np.abs(cd - cs).max()
+    # Two DIFFERENT compiled programs each solve to rtol=1e-10; the White
+    # feedback amplifies that per-iteration difference by the solution's
+    # sensitivity to P,Q (~4e2 measured on this mesh — see
+    # test_device_resident_run_matches_solve_loop), compounding over 3
+    # iterations to ~1e-7. The bound is that amplification with margin,
+    # NOT a loose solver tolerance: a real semantic divergence (wrong
+    # glue row, dropped connection) shows up at 1e-3+.
+    assert np.abs(cd - cs).max() < 1e-6, np.abs(cd - cs).max()
     assert np.abs(cfd - cfs).max() < 1e-6, np.abs(cfd - cfs).max()
     np.testing.assert_allclose(hs, hd, rtol=1e-5)
 

@@ -99,14 +99,18 @@ def main(scale=2, iters=25, wall_delta_s=None):
     baseF, b = dev._jit_base(plans, X, C)
     ctx = dev._jit_prepare32(plans, baseF, C)
 
-    # equilibrated stationary iteration with the f32 V-I preconditioner
+    # equilibrated stationary iteration with the f32 V-I preconditioner:
+    # x += Ms(D^-1 r) where Ms acts on EQUILIBRATED residuals (it
+    # multiplies by row_diag before the f32 V-I, matching host_fgmres's
+    # preconditioned frame)
     x = dev._jit_zeros(b)
     r = b
     rn0 = float(dev._jit_norm(r))
     rates = []
     prev = rn0
     for k in range(iters):
-        z = dev._jit_Ms(plans, ctx, r)          # f32 V-I in equilibrated frame
+        r_s = dev._jit_equil(plans, ctx, r)[0]  # D^-1 r
+        z = dev._jit_Ms(plans, ctx, r_s)        # f32 V-I
         # x += z ; r = b - A x  — reuse the refine stage for the update
         x, r, rn_dev = dev._jit_refine(plans, baseF, C, x, z, b)
         rn = float(rn_dev)
@@ -123,7 +127,7 @@ def main(scale=2, iters=25, wall_delta_s=None):
 
     # ---- localize the tail ----
     rf = np.asarray(r).reshape(p.B, p.N, p.M, 2)
-    kind_pad = np.zeros(p.B * p.N * p.M, dtype=np.int8)
+    kind_pad = np.full(p.B * p.N * p.M, -1, dtype=np.int8)
     kind_pad[p.scatter_idx] = info.kind
     kind_pad = kind_pad.reshape(p.B, p.N, p.M)
     r2 = (rf ** 2).sum(-1)
@@ -131,21 +135,27 @@ def main(scale=2, iters=25, wall_delta_s=None):
     from turbomesh_tpu.smoothing.classify import Kind
 
     total = r2.sum()
-    interior = r2[kind_pad == Kind.INTERIOR].sum()
-    faces = r2[(kind_pad == Kind.SMOOTHED)].sum()
-    junctions = r2[kind_pad == Kind.LAPLACIAN].sum()
-
+    print("tail residual distribution (|r|^2 fractions):")
+    for kd in Kind:
+        frac = r2[kind_pad == kd].sum() / total
+        print(f"  {kd.name:9s}: {frac:.4f}")
     # wall layers: rows within W cells of a boundary j=0 wall of block 0
     # (the O-grid block in the O4H template; storage frame)
     W = 8
-    wall = r2[0, :, :W].sum()
-    print("tail residual distribution (|r|^2 fractions):")
-    print(f"  interior        : {interior / total:.3f}")
-    print(f"  o-grid wall {W:2d}  : {wall / total:.3f} (subset of interior)")
-    print(f"  connection faces: {faces / total:.3f}")
-    print(f"  junction rows   : {junctions / total:.3f}")
-    print(f"  other           : "
-          f"{(total - interior - faces - junctions) / total:.3f}")
+    print(f"  o-grid wall {W:2d}: {r2[0, :, :W].sum() / total:.4f} "
+          "(subset of INTERIOR)")
+    # x vs y component split of the tail
+    rx2 = (rf[..., 0] ** 2).sum()
+    print(f"  x-component  : {rx2 / total:.4f}")
+    # top tail rows
+    flat = r2.reshape(-1)
+    top = np.argsort(flat)[-8:][::-1]
+    for t in top:
+        b, rem = divmod(t, p.N * p.M)
+        i, j = divmod(rem, p.M)
+        print(f"  top row: block {b} ({i},{j}) kind "
+              f"{Kind(kind_pad[b, i, j]).name if kind_pad[b, i, j] >= 0 else 'PAD'}"
+              f" |r|^2 {flat[t] / total:.4f}")
 
     # per-block tail
     per_block = r2.reshape(p.B, -1).sum(1) / total

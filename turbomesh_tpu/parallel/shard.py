@@ -660,7 +660,20 @@ class ShardedSmoother:
                 zf = z.reshape(-1, 2)
                 cur = zf[chain_rows]
                 upd = jnp.where(cseg_valid[..., None], sol - cur, 0.0)
-                return zf.at[chain_rows].add(upd).reshape(z.shape)
+                zf = zf.at[chain_rows].add(upd)
+                # sliding rows last, reading the UPDATED neighbor: exact
+                # row solve z_s = r + z_nb (see DeviceSmoother.
+                # _stage_interface — the Jacobi form stalled the V-I
+                # contraction at 0.94+ on BC-corner rows). Sliding rows
+                # and their neighbors are device-local; masked add keeps
+                # padded dummy rows inert.
+                for _ in range(2):
+                    zy = vflat[q["s_row"], 1] + zf[q["s_nb"], 1]
+                    dlt = jnp.where(q["s_valid"],
+                                    zy - zf[q["s_row"], 1], 0.0)
+                    zf = zf.at[q["s_row"], 1].add(dlt)
+                z = zf.reshape(z.shape)
+                return jnp.where(free_mask, z, 0.0)
 
             def M_inv(V):
                 """f32 multiplicative V-I composition (DeviceSmoother

@@ -876,6 +876,24 @@ class DeviceSmoother:
             upd = jnp.where(vmask[..., None], sol - cur, 0.0)
             z = zf.at[chain_rows].add(upd).reshape(z.shape)
 
+        # Sliding rows LAST, reading the UPDATED neighbor correction:
+        # the row y_s - y_nb = r solves exactly as z_s = r + z_nb. The
+        # plain Jacobi step (z_s = r) is exact only when the neighbor is
+        # an interior row (whose interface correction is 0); at BC
+        # corners the neighbor is a face/chain row updated above, and
+        # dropping its correction left an interior<->corner Gauss-Seidel
+        # loop that owned the whole V-I stationary contraction (measured
+        # 0.94-0.98 at scale 2, |r|^2 94% on ONE corner row —
+        # tools/mg_contraction.py). Two passes resolve nb-sliding chains.
+        s_row, s_nb = p32["s"]
+        if s_row.shape[0]:
+            zf = z.reshape(-1, 2)
+            for _ in range(2):
+                zy = vflat[s_row, 1] + zf[s_nb, 1]
+                zf = zf.at[s_row, 1].set(zy, unique_indices=True)
+            z = zf.reshape(z.shape)
+            z = jnp.where(p32["free_mask"], z, 0.0)
+
         return z.reshape(-1, 2)
 
     def _stage_Minv(self, ctx, vflat):
