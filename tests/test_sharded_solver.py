@@ -230,3 +230,34 @@ def test_o4h_eight_devices():
     inp = input_mod.load(cfg, base_dir="/root/repo")
     mesh = inp.template.run(inp.geometry)
     _compare(mesh, n_devices=min(8, len(jax.devices())), atol=1e-8)
+
+
+def test_sharded_deflation_optin_parity(monkeypatch):
+    """Opt-in coarse-space deflation in the sharded preconditioner
+    (TURBOMESH_DEFLATION=y) must leave the converged solution unchanged
+    — the safeguarded K x K solve mirrors DeviceSmoother._defl_apply
+    (f64 algebra, weighted line-search scale; raw Galerkin on this
+    nonsymmetric A can stall the outer FGMRES)."""
+    mesh = Mesh()
+    mesh.add_block("left", _uniform_block(9, 7, distort=0.03))
+    mesh.add_block("right", _uniform_block(9, 7, x0=1.0, distort=0.03,
+                                           seed=5))
+    mesh.connections.append(
+        Connection((Range(0, Side.J_MAX, 0, 6), Range(1, Side.J_MIN, 0, 6)))
+    )
+    mesh.blocks[1].points[0, :, :] = mesh.blocks[0].points[-1, :, :]
+
+    info = classify(mesh)
+    oracle = SparseSystem(mesh, info)
+    monkeypatch.setenv("TURBOMESH_DEFLATION", "y")
+    sharded = ShardedSmoother(mesh, info, n_devices=2)
+    assert sharded._defl_K > 0
+    cf = Laplace().init(mesh)
+
+    co = mesh.flat_coords()
+    cs = co.copy()
+    for _ in range(2):
+        co = oracle.solve(co, cf)
+        cs = sharded.solve(cs, cf)
+        err = np.abs(co - cs).max()
+        assert err < 1e-9, f"deflated sharded vs oracle mismatch {err:.3e}"

@@ -29,6 +29,12 @@ import numpy as np
 
 import jax
 
+# honor an explicit JAX_PLATFORMS request (the axon sitecustomize
+# re-pins the platform at plugin registration, so env alone is not
+# enough — same pattern as tests/conftest.py)
+import os as _os  # noqa: E402
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402

@@ -183,6 +183,38 @@ class ShardedSmoother:
         self.block_sizes = sizes
         self.scatter_idx = plan.scatter_idx  # into (B0*N*M); B padding appended after
 
+        # per-block bilinear deflation basis (DeviceSmoother._defl_*):
+        # kills the global smooth near-null modes (sliding-BC y-float)
+        # that cap the V-I stationary contraction at ~0.99. Columns are
+        # block-partitioned, so W^T r is a local contraction + one
+        # all_gather and W alpha a local expansion of this device's
+        # slice; dummy padding blocks get keep=0 (identity Galerkin rows).
+        import os as _os
+
+        defl = _os.environ.get("TURBOMESH_DEFLATION", "") or "0"
+        self._defl_comps = {"y": (1,), "xy": (0, 1)}.get(defl, ())
+        Cc = max(len(self._defl_comps), 1)
+        dfu = np.zeros((B, N, 2))
+        dfv = np.zeros((B, M, 2))
+        dkeep = np.zeros((B, 2, 2, Cc))
+        for b, (ni, nj) in enumerate(sizes):
+            u = np.linspace(0.0, 1.0, ni)
+            v = np.linspace(0.0, 1.0, nj)
+            dfu[b, :ni, 0] = 1.0 - u
+            dfu[b, :ni, 1] = u
+            dfv[b, :nj, 0] = 1.0 - v
+            dfv[b, :nj, 1] = v
+            for pp in range(2):
+                for qq in range(2):
+                    hat = dfu[b, :, pp][:, None] * dfv[b, :, qq][None, :]
+                    for ci, c in enumerate(self._defl_comps):
+                        if np.any(hat * free[b, :, :, c]):
+                            dkeep[b, pp, qq, ci] = 1.0
+        self._defl_arrays = (dfu.reshape(D, self.Bl, N, 2),
+                             dfv.reshape(D, self.Bl, M, 2),
+                             dkeep.reshape(D, self.Bl, 2, 2, Cc))
+        self._defl_K = B * 2 * 2 * Cc if self._defl_comps else 0
+
         # glued multigrid ladder: smooth masks (interior + SMOOTHED faces)
         # padded to B blocks; glue maps split into local / cross-device.
         # keep_boundaries: boundary-aligned coarse lattices — with plain
@@ -675,18 +707,83 @@ class ShardedSmoother:
                 z = zf.reshape(z.shape)
                 return jnp.where(free_mask, z, 0.0)
 
+            # coarse-space deflation (DeviceSmoother._defl_*): columns
+            # are block-partitioned, so each device contracts/expands its
+            # own block slice; one all_gather assembles the K-vector and
+            # the K x K Galerkin solve runs replicated.
+            K = self._defl_K
+            if K:
+                dfu32 = q["dfu"].astype(jnp.float32)
+                dfv32 = q["dfv"].astype(jnp.float32)
+                free32 = free_mask
+
+                def defl_Wt(v):
+                    vm = jnp.where(free32, v, 0.0)
+                    outs = []
+                    for c in self._defl_comps:
+                        t = jnp.einsum("bnp,bnm->bpm", dfu32, vm[..., c])
+                        outs.append(jnp.einsum("bpm,bmq->bpq", t, dfv32))
+                    loc = jnp.stack(outs, axis=-1)  # (Bl, 2, 2, C)
+                    return jax.lax.all_gather(loc, "b").reshape(-1)
+
+                def defl_W(alpha):
+                    Cc = len(self._defl_comps)
+                    a = alpha.reshape(D, self.Bl, 2, 2, Cc)
+                    a = jax.lax.dynamic_index_in_dim(
+                        a, jax.lax.axis_index("b"), keepdims=False)
+                    z = jnp.zeros(free_mask.shape, jnp.float32)
+                    for ci, c in enumerate(self._defl_comps):
+                        t = jnp.einsum("bpq,bnp->bnq", a[..., ci], dfu32)
+                        f = jnp.einsum("bnq,bmq->bnm", t, dfv32)
+                        z = z.at[..., c].set(f)
+                    return jnp.where(free32, z, 0.0)
+
+                keep = jax.lax.all_gather(
+                    q["dkeep"].astype(jnp.float32), "b").reshape(-1)
+                eye = jnp.eye(K, dtype=jnp.float32)
+
+                def gcol(e):
+                    return defl_Wt(A_any(defl_W(e)))
+
+                # K x K algebra in f64, no ridge, and a weighted
+                # line-search safeguard on the correction — same
+                # rationale as DeviceSmoother._defl_apply (raw Galerkin
+                # on this nonsymmetric A can inject corrections whose
+                # image dwarfs the residual outside the coarse space).
+                dG = jax.lax.map(gcol, eye).T.astype(jnp.float64)
+                keep64 = keep.astype(jnp.float64)
+                dG = dG * keep64[:, None] * keep64[None, :] \
+                    + jnp.diag(1.0 - keep64)
+                dD = jax.lax.rsqrt(jnp.abs(jnp.diagonal(dG))
+                                   + jnp.float64(1e-300))
+                dG = dG * dD[:, None] * dD[None, :]
+
             def M_inv(V):
-                """f32 multiplicative V-I composition (DeviceSmoother
-                _stage_Minv): glued V-cycle over interior + SMOOTHED
-                face rows, residual update (one halo exchange),
-                interface chain/Jacobi solve."""
+                """f32 multiplicative composition (DeviceSmoother
+                _stage_Minv): coarse-space deflation solve, glued V-cycle
+                over interior + SMOOTHED face rows, residual update (one
+                halo exchange), interface chain/Jacobi solve."""
                 v32 = V.astype(jnp.float32)
+                if K:
+                    rhs = defl_Wt(v32).astype(jnp.float64) * dD
+                    alpha = dD * jnp.linalg.solve(dG, rhs)
+                    z0 = defl_W(alpha.astype(jnp.float32))
+                    Az0 = A_any(z0)
+                    wv = (inv_row * v32).astype(jnp.float64)
+                    wz = (inv_row * Az0).astype(jnp.float64)
+                    t = (pdot(wv, wz)
+                         / (pdot(wz, wz) + jnp.float64(1e-300))
+                         ).astype(jnp.float32)
+                    z0 = t * z0
+                    v32 = v32 - t * Az0
+                else:
+                    z0 = 0.0
                 smooth0 = levels[0].interior[..., None]
                 z = v_cycle_glued(levels, jnp.where(smooth0, v32, 0.0),
                                   glue_fns=glue_fns)
                 z = jnp.where(smooth0 & free_mask, z, 0.0)
                 rr = v32 - A_any(z)
-                z = z + interface32(rr)
+                z = z0 + z + interface32(rr)
                 return z.astype(V.dtype)
 
             b = -apply_equations(q, baseXl, baseV, cfl, baseXl, baseV, True,
@@ -719,6 +816,8 @@ class ShardedSmoother:
         plan_leaves = dataclasses.asdict(self.shard_plan)
         plan_leaves["cseg"] = self.cseg
         plan_leaves["cseg_valid"] = self.cseg_valid
+        plan_leaves["dfu"], plan_leaves["dfv"], plan_leaves["dkeep"] = \
+            self._defl_arrays
         for o in self.ex_S.offsets:
             plan_leaves[f"sendS{o}"] = self.ex_S.send_idx[o]
         for o in self.ex_F.offsets:

@@ -397,12 +397,55 @@ def _interior_diag(base):
     return jnp.pad((-2.0 * g22 - 2.0 * g11), ((0, 0), (1, 1), (1, 1)))
 
 
+def _defl_basis_arrays(block_sizes, N, M, free_mask, comps):
+    """Per-block bilinear deflation profiles for the coarse-space solve.
+
+    Returns (FU (B,N,2), FV (B,M,2), keep (K,)) with column ordering
+    k = ((b*2 + p)*2 + q)*C + c: FU[b,:,p] / FV[b,:,q] are the 1-u / u
+    (resp. 1-v / v) ramps over the block's REAL extents (zero on
+    padding), and keep[k]=0 marks columns that are structurally zero
+    after free-component masking (e.g. a fully fixed block) so the
+    Galerkin matrix gets an identity row/column there instead of a zero
+    pivot. comps selects basis components ((1,)='y', (0,1)='xy')."""
+    B = len(block_sizes)
+    C = len(comps)
+    FU = np.zeros((B, N, 2))
+    FV = np.zeros((B, M, 2))
+    K = B * 2 * 2 * C
+    keep = np.zeros((K,))
+    for b, (ni, nj) in enumerate(block_sizes):
+        u = np.linspace(0.0, 1.0, ni)
+        v = np.linspace(0.0, 1.0, nj)
+        FU[b, :ni, 0] = 1.0 - u
+        FU[b, :ni, 1] = u
+        FV[b, :nj, 0] = 1.0 - v
+        FV[b, :nj, 1] = v
+        for p in range(2):
+            for q in range(2):
+                hat = FU[b, :, p][:, None] * FV[b, :, q][None, :]
+                for ci, c in enumerate(comps):
+                    k = ((b * 2 + p) * 2 + q) * C + ci
+                    if np.any(hat * free_mask[b, :, :, c]):
+                        keep[k] = 1.0
+    return FU, FV, keep
+
+
 class DeviceSmoother:
     """Drop-in replacement for SparseSystem.solve on the TPU path."""
 
     #: default glued-V-cycle schedule; override per-instance via mg_opts.
+    #: deflation: "y" deflates a per-block bilinear coarse space in the
+    #: y component (the near-null mode sliding BCs allow: whole regions
+    #: floating in y — tools/mg_slow_mode.py), "xy" both components,
+    #: "0"/None (default) disables. TURBOMESH_DEFLATION overrides.
+    #: Default OFF: after the sliding-row corner fix the stationary V-I
+    #: contraction without deflation is ~0.94 and the safeguarded
+    #: deflation is cost-neutral at best (measured scale 2: 0.944 with
+    #: vs 0.938 without, while prepare pays K extra operator applies);
+    #: it remains an opt-in lever for slow-mode-dominated regimes.
     MG_DEFAULTS = dict(pre=1, post=1, coarse_iters=4,
-                       pre_dirs="ij", post_dirs="ij", n_levels=None)
+                       pre_dirs="ij", post_dirs="ij", n_levels=None,
+                       deflation=None)
 
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-13, atol: float = 1e-15,
@@ -445,6 +488,22 @@ class DeviceSmoother:
                 x = x.astype(np.int32)
             return jnp.asarray(x)
 
+        # coarse-space deflation setup (see MG_DEFAULTS.deflation)
+        defl = os.environ.get("TURBOMESH_DEFLATION", "")
+        if not defl:
+            defl = dict(self.MG_DEFAULTS, **(mg_opts or {})).get(
+                "deflation") or "0"
+        self._defl_comps = {"y": (1,), "xy": (0, 1)}.get(defl, ())
+        if self._defl_comps:
+            dfu, dfv, dkeep = _defl_basis_arrays(
+                self._block_sizes, p.N, p.M, p.free_mask, self._defl_comps)
+            self._defl_K = len(dkeep)
+        else:
+            dfu = np.zeros((p.B, p.N, 2))
+            dfv = np.zeros((p.B, p.M, 2))
+            dkeep = np.zeros((0,))
+            self._defl_K = 0
+
         self._jnp_plan = jax.tree.map(
             _as_dev,
             dict(
@@ -457,6 +516,7 @@ class DeviceSmoother:
                 l=[p.l_row, p.l_stencil, p.l_weight, p.l_rhs],
                 s=[p.s_row, p.s_nb],
                 sl=[p.sl_row, p.sl_master, p.sl_off],
+                dfu=dfu, dfv=dfv, dkeep=dkeep,
             ),
         )
         # f32 twin of the plan for the mixed-precision inner solver
@@ -501,6 +561,7 @@ class DeviceSmoother:
         self._jit_A32 = self._swap_jit(self._stage_A32)
         self._jit_Minv = self._swap_jit(self._stage_Minv)
         self._jit_Minv_finish = self._swap_jit(self._stage_Minv_finish)
+        self._jit_defl = self._swap_jit(self._defl_apply)
         self._jit_vcycle = self._swap_jit(self._stage_vcycle_interior)
         self._jit_finish = self._swap_jit(self._stage_finish)
         self._jit_refine = self._swap_jit(self._stage_refine)
@@ -806,10 +867,14 @@ class DeviceSmoother:
         else:
             cGm = jnp.zeros((0, 3), jnp.float32)
 
-        return dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
-                    lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
-                    G=G, cG=cGm,
-                    mg=[dict(lv) for lv in levels])
+        ctx = dict(baseF32=baseF32, cf32=cf32, diag=diag_field,
+                   lj=(dl_j, d_j, du_j), li=(dl_i, d_i, du_i), chain=ch,
+                   G=G, cG=cGm,
+                   mg=[dict(lv) for lv in levels])
+        if self._defl_comps:
+            ctx["dG"], ctx["dD"] = self._defl_galerkin(
+                p32, baseX32, baseF32, cf32, G, cGm)
+        return ctx
 
     def _stage_A32(self, ctx, v):
         """f32 linear operator application (jitted separately)."""
@@ -819,6 +884,105 @@ class DeviceSmoother:
         return self._apply(baseX32, baseF32, ctx["cf32"], v,
                            with_offsets=jnp.float32(0.0),
                            G=ctx["G"], cG=ctx["cG"])
+
+    # ---- coarse-space deflation (implicit per-block bilinear basis) -----
+    #
+    # The V-I preconditioner's stationary contraction was capped at
+    # ~0.99 by a GLOBAL smooth y-translation mode: sliding BCs let whole
+    # mesh regions float in y, decaying smoothly to the fixed blade —
+    # no block-local solve and no glued V-cycle contracts it (even exact
+    # interior+interface block solves measure 0.994; tools/
+    # mg_slow_mode.py shows the mode: outlet blocks shifting near-
+    # rigidly). The standard two-level domain-decomposition fix is an
+    # exact Petrov-Galerkin solve over a tiny coarse space W (per block,
+    # 4 bilinear corner hats in the free components):
+    #     alpha = (W^T A W)^-1 W^T r ; z0 = W alpha ; then V-I on
+    #     r - A z0.
+    # W is never materialized: each column is a rank-1 FU x FV outer
+    # product, so W^T r and W alpha are two tiny per-block matmul
+    # contractions (MXU-shaped); the K x K Galerkin matrix (K = 4B or
+    # 8B) is rebuilt each prepare (A changes per Picard iteration) from
+    # K sequential operator applications. Measured on the T106 O4H at
+    # scale 2: stationary rho 0.988 -> 0.92, 196 -> 31 iters/digit.
+
+    def _defl_Wt(self, p32, vflat):
+        """W^T v: (B*N*M, 2) -> (K,) coarse residual."""
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        v = (vflat * p32["free_mask"].reshape(-1, 2)).reshape(B, N, M, 2)
+        outs = []
+        for c in self._defl_comps:
+            t = jnp.einsum("bnp,bnm->bpm", p32["dfu"], v[..., c])
+            g = jnp.einsum("bpm,bmq->bpq", t, p32["dfv"])
+            outs.append(g)
+        out = jnp.stack(outs, axis=-1)  # (B, 2, 2, C)
+        return out.reshape(-1)
+
+    def _defl_W(self, p32, alpha):
+        """W alpha: (K,) -> (B*N*M, 2) correction field."""
+        B, N, M = self.plan.B, self.plan.N, self.plan.M
+        C = len(self._defl_comps)
+        a = alpha.reshape(B, 2, 2, C)
+        z = jnp.zeros((B, N, M, 2), alpha.dtype)
+        for ci, c in enumerate(self._defl_comps):
+            t = jnp.einsum("bpq,bnp->bnq", a[..., ci], p32["dfu"])
+            f = jnp.einsum("bnq,bmq->bnm", t, p32["dfv"])
+            z = z.at[..., c].set(f)
+        return (z * p32["free_mask"]).reshape(-1, 2)
+
+    def _defl_galerkin(self, p32, baseX32, baseF32, cf32, Gm, cGm):
+        """(K, K) equilibrated Galerkin matrix + its scaling vector.
+        Sequential lax.map over the K basis columns keeps peak memory at
+        one field regardless of K."""
+        K = self._defl_K
+        eye = jnp.eye(K, dtype=jnp.float32)
+
+        def gcol(e):
+            w = self._defl_W(p32, e)
+            Aw = self._apply(baseX32, baseF32, cf32, w,
+                             with_offsets=jnp.float32(0.0), G=Gm, cG=cGm)
+            return self._defl_Wt(p32, Aw)
+
+        G = jax.lax.map(gcol, eye).T.astype(jnp.float64)
+        keep = p32["dkeep"].astype(jnp.float64)
+        G = G * keep[:, None] * keep[None, :] + jnp.diag(1.0 - keep)
+        # The K x K algebra runs in f64: a ridge (or an f32 solve) puts a
+        # SYSTEMATIC bias ~ridge*kappa on the coarse-mode elimination, and
+        # since the V-I cannot contract exactly these modes (that is why
+        # they are deflated) the outer FGMRES stalls at the bias level —
+        # measured as a hard 1.5e-6 stall under White forcing. Symmetric
+        # equilibration alone keeps the f64 solve well-posed.
+        d = jax.lax.rsqrt(jnp.abs(jnp.diagonal(G)) + jnp.float64(1e-300))
+        Gs = G * d[:, None] * d[None, :]
+        return Gs, d
+
+    def _defl_apply(self, ctx, vflat):
+        """Safeguarded coarse solve: returns (z0, v - A z0).
+
+        The raw Petrov-Galerkin correction is unsafe for this
+        nonsymmetric A: when the residual has little true coarse
+        content (e.g. late White-forced Picard iterates), (W^T A W)^-1
+        manufactures a correction whose image A z0 is orders of
+        magnitude LARGER than v outside the coarse space (measured
+        714x||v||), which injects f32 noise at that scale into every
+        preconditioner application and hard-stalls the outer FGMRES at
+        ~1e-6. The fix: scale the Galerkin direction by the weighted
+        least-squares step t = <D^2 v, A z0>/<D^2 A z0, A z0> (D = the
+        outer equilibration 1/|diag|), which guarantees
+        ||D(v - t A z0)|| <= ||D v|| — full-strength when the residual
+        is slow-mode-dominated (the stationary-refinement case deflation
+        targets, where t ~ 1), a no-op on junk directions (t ~ 0)."""
+        p32 = self._jnp_plan32
+        rhs = self._defl_Wt(p32, vflat).astype(jnp.float64) * ctx["dD"]
+        alpha = ctx["dD"] * jnp.linalg.solve(ctx["dG"], rhs)
+        z0 = self._defl_W(p32, alpha.astype(jnp.float32))
+        Az0 = self._stage_A32(ctx, z0)
+        w = (1.0 / ctx["diag"].reshape(-1, 2)).astype(jnp.float64)
+        v64 = vflat.astype(jnp.float64)
+        Az64 = Az0.astype(jnp.float64)
+        num = jnp.sum((w * v64) * (w * Az64))
+        den = jnp.sum((w * Az64) ** 2) + jnp.float64(1e-300)
+        t = (num / den).astype(jnp.float32)
+        return t * z0, vflat - t * Az0
 
     def _stage_vcycle_interior(self, ctx, vflat):
         """f32 glued multigrid V-cycle: block interiors + SMOOTHED
@@ -897,12 +1061,18 @@ class DeviceSmoother:
         return z.reshape(-1, 2)
 
     def _stage_Minv(self, ctx, vflat):
-        """f32 preconditioner: multiplicative composition of a multigrid
-        V-cycle on block interiors and the interface solve (chains /
-        junction Jacobi / sliding) with a residual update in between."""
+        """f32 preconditioner: multiplicative composition of the coarse-
+        space deflation solve (kills the global smooth near-null modes —
+        see _defl_Wt), a multigrid V-cycle on block interiors, and the
+        interface solve (chains / junction Jacobi / sliding), with a
+        residual update between each stage."""
+        if "dG" in ctx:
+            z0, vflat = self._defl_apply(ctx, vflat)
+        else:
+            z0 = jnp.zeros_like(vflat)
         z = self._stage_vcycle_interior(ctx, vflat)
         rr = vflat - self._stage_A32(ctx, z)
-        return z + self._stage_interface(ctx, rr)
+        return z0 + z + self._stage_interface(ctx, rr)
 
     def _stage_Minv_finish(self, ctx, vflat, z_interior):
         """Interface part of the preconditioner around a given interior
@@ -967,8 +1137,13 @@ class DeviceSmoother:
 
         def M_s(v):
             vflat = row_diag * v
+            if "dG" in ctx:
+                z0, vflat = self._jit_defl(self._plans_arg, ctx, vflat)
             z = self._jit_vcycle(self._plans_arg, ctx, vflat).reshape(B, N, M, 2)
-            return self._jit_Minv_finish(self._plans_arg, ctx, vflat, z)
+            out = self._jit_Minv_finish(self._plans_arg, ctx, vflat, z)
+            if "dG" in ctx:
+                out = out + z0.reshape(out.shape)
+            return out
 
         r32 = inv_row * rpad.astype(jnp.float32)
         d32, _ = host_gmres(A_s, M_s, r32, rtol=1e-6, atol=0.0,
@@ -1049,6 +1224,7 @@ class DeviceSmoother:
                                self.restart * self.max_restarts, rn,
                                self.atol)
         self.last_linear_residual = rn
+        self.last_linear_converged = bool(ok)
         return p.unpad_coords(X1)
 
     def run(self, coords: np.ndarray, cf: np.ndarray, iterations: int,
@@ -1148,6 +1324,7 @@ class DeviceSmoother:
                                    self.restart * self.max_restarts, rn,
                                    self.atol)
             self.last_linear_residual = rn
+            self.last_linear_converged = bool(ok)
             log.info("\tresidual: %.6e", disp)
             if residual_history is not None:
                 residual_history.append(disp)
@@ -1329,6 +1506,7 @@ class DeviceSmoother:
             # reference's plain criterion — either counts as converged
             _warn_nonconverged("device fgmres (staged)", k, rn, tol)
         self.last_linear_residual = rn
+        self.last_linear_converged = bool(rn <= tol or met_s)
 
         X1 = self._jit_finish(self._plans_arg, baseF, x)
         return X1.reshape(X.shape)
