@@ -1,0 +1,131 @@
+"""BASELINE config 5 demo: 3-D T106 from stacked 2-D cuts, blocks
+sharded across the (virtual) device mesh.
+
+The reference lists "3D: multiple stacked 2D cuts" as planned-but-
+unimplemented (/root/reference/README.md:19-21). This demo runs the full
+TPU-native pipeline for it:
+
+  1. per-span 2-D sections: the T106 example config with a per-cut
+     geometry scale (radially shrinking blade sections; pitch scales
+     with the profile) -> O4H blocking per cut,
+  2. per-cut elliptic smoothing with the cut's 8 BLOCKS SHARDED across
+     all devices (ShardedSmoother.run — device-resident Picard loop,
+     White wall control function from the example config),
+  3. stacking the smoothed cuts into a 3-D mesh (extrude.from_cuts),
+  4. structured-CGNS 3-D output + bit-identical read-back verification.
+
+Writes the run record to MULTICHIP_3D_r04.json (repo root) and the mesh
+to /tmp/t106_3d.cgns.
+
+Run: python tools/demo_3d_sharded.py [n_cuts] [picard_iters] [out.json]
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+if __name__ == "__main__" and os.environ.get("_TM_3D_CHILD") != "1":
+    env = dict(os.environ)
+    env["_TM_3D_CHILD"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags +
+                            " --xla_force_host_platform_device_count=8")
+    os.execve(sys.executable, [sys.executable, __file__] + sys.argv[1:], env)
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    from turbomesh_tpu import input as input_mod
+    from turbomesh_tpu.extrude import from_cuts
+    from turbomesh_tpu.io.cgns3d import read_cgns3d
+    from turbomesh_tpu.parallel import ShardedSmoother
+    from turbomesh_tpu.smoothing.classify import classify
+    from turbomesh_tpu.smoothing.control_function import White
+
+    n_cuts = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    picard = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    out_json = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
+        REPO, "MULTICHIP_3D_r04.json")
+    cgns_path = "/tmp/t106_3d.cgns"
+
+    cfg = json.load(open(os.path.join(REPO, "examples/T106/T106.json")))
+    spans = np.linspace(0.0, 0.05, n_cuts)
+    scales = np.linspace(1.0, 0.88, n_cuts)  # radial section shrink
+    D = len(jax.devices())
+
+    record = {
+        "what": "BASELINE config 5: 3-D from stacked 2-D cuts, blocks "
+                "sharded across chips (reference roadmap README.md:19-21)",
+        "devices": D,
+        "platform": jax.devices()[0].platform,
+        "n_cuts": n_cuts,
+        "picard_iters_per_cut": picard,
+        "cuts": [],
+    }
+
+    smoothed = []
+    for k in range(n_cuts):
+        ck = json.loads(json.dumps(cfg))
+        ck["geometry"]["scale"] = float(scales[k])
+        inp = input_mod.load(ck, base_dir=REPO)
+        mesh = inp.template.run(inp.geometry)
+        info = classify(mesh)
+        white = White(ds_target=1e-6 * scales[k])
+        t0 = time.perf_counter()
+        sm = ShardedSmoother(mesh, info, n_devices=D,
+                             rtol=1e-6, atol=1e-8)
+        setup_s = time.perf_counter() - t0
+        cf = white.init(mesh)
+        restarts = []
+        t0 = time.perf_counter()
+        coords, _cf, disp, n_done = sm.run(
+            mesh.flat_coords(), cf, picard, algorithm=white,
+            restart_history=restarts)
+        run_s = time.perf_counter() - t0
+        mesh.set_flat_coords(coords)
+        smoothed.append(mesh)
+        record["cuts"].append({
+            "cut": k, "span": float(spans[k]), "scale": float(scales[k]),
+            "nodes": mesh.num_points, "setup_s": round(setup_s, 2),
+            "run_s": round(run_s, 2), "picard_done": n_done,
+            "fgmres_restarts_per_iter": restarts,
+            "displacement_residual": float(disp),
+        })
+        print(json.dumps(record["cuts"][-1]), flush=True)
+
+    m3 = from_cuts(smoothed, spans)
+    m3.write(cgns_path)
+    names, blocks = read_cgns3d(cgns_path)  # zone order: alphabetical
+    got = dict(zip(names, blocks))
+    ok = (sorted(names) == sorted(m3.names)
+          and all(np.array_equal(got[nm], b.points)
+                  for nm, b in zip(m3.names, m3.blocks)))
+    record["mesh3d"] = {
+        "blocks": len(m3.blocks),
+        "nodes_3d": m3.num_points,
+        "cgns": cgns_path,
+        "cgns_sha256": hashlib.sha256(
+            open(cgns_path, "rb").read()).hexdigest(),
+        "readback_bit_identical": bool(ok),
+    }
+    with open(out_json, "w") as f:
+        json.dump(record, f, indent=1)
+    print(f"wrote {out_json}; readback ok: {ok}", flush=True)
+    assert ok
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Time ONE linearized scale-N solve under solver-option variants.
+
+The decision-relevant number for ROADMAP item 1 (scale-15 per-solve
+rate) is the wall time of one converged linearized solve, not the
+stationary V-I contraction (FGMRES handles low-dimensional slow modes —
+e.g. the ~10 junction points — far better than a stationary iteration,
+so contraction proxies can mislead). This probe builds the bench mesh
+once and times DeviceSmoother.solve for each requested variant.
+
+Usage: python tools/solve_rate_probe.py [scale] [variant ...]
+  variants: base | ip4 | defl | defl_ip4 | restart30 | ip1
+Run on the TPU alone (one process per chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: F401
+
+import jax
+
+import os as _os
+if _os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_enable_x64", True)
+
+
+VARIANTS = {
+    "base": {},
+    "ip1": {"mg_opts": {"interface_passes": 1}},
+    "ip4": {"mg_opts": {"interface_passes": 4}},
+    "defl": {"mg_opts": {"deflation": "y"}},
+    "defl_ip4": {"mg_opts": {"deflation": "y", "interface_passes": 4}},
+    "restart30": {"restart": 30, "max_restarts": 4},
+}
+
+
+def run_one(scale: int, name: str):
+    from bench import build_mesh
+    from turbomesh_tpu.smoothing.classify import classify
+    from turbomesh_tpu.smoothing.control_function import Laplace
+    from turbomesh_tpu.smoothing.device import DeviceSmoother
+
+    t0 = time.perf_counter()
+    mesh = build_mesh(scale)
+    info = classify(mesh)
+    cf = Laplace().init(mesh)
+    coords = mesh.flat_coords()
+    print(f"mesh: {mesh.num_points} nodes, built "
+          f"{time.perf_counter()-t0:.1f} s", file=sys.stderr, flush=True)
+
+    opts = dict(VARIANTS[name])
+    kw = dict(rtol=1e-6, atol=1e-8, restart=10, max_restarts=10)
+    kw.update({k: v for k, v in opts.items() if k != "mg_opts"})
+    dev = DeviceSmoother(mesh, info, mg_opts=opts.get("mg_opts"), **kw)
+    t0 = time.perf_counter()
+    dev.solve(coords.copy(), cf)
+    dt = time.perf_counter() - t0
+    return {
+        "variant": name, "scale": scale, "solve_s": round(dt, 1),
+        "granularity": dev.granularity,
+        "linear_residual": dev.last_linear_residual,
+        "converged": getattr(dev, "last_linear_converged", None),
+        "mnodes_per_s_per_solve": round(mesh.num_points / dt / 1e6, 4),
+    }
+
+
+def main():
+    """Each variant in its own subprocess: one scale-15 DeviceSmoother
+    holds multiple GB of plan/context buffers, and two instances in one
+    process ResourceExhausted the 16 GB chip."""
+    import subprocess
+
+    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    names = sys.argv[2:] or ["base"]
+    for name in names:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--child", str(scale), name],
+            capture_output=True, text=True)
+        line = (out.stdout.strip().splitlines() or ["{}"])[-1]
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            err = (out.stderr.strip().splitlines() or ["no output"])[-1]
+            rec = {"variant": name, "error": err[:200]}
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        print(json.dumps(run_one(int(sys.argv[2]), sys.argv[3])))
+        sys.exit(0)
+    main()

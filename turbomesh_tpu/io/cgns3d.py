@@ -38,3 +38,25 @@ def write_cgns3d(mesh3d, filename: str) -> None:
             _node(gc, "CoordinateX", "DataArray_t", "R8", x)
             _node(gc, "CoordinateY", "DataArray_t", "R8", y)
             _node(gc, "CoordinateZ", "DataArray_t", "R8", z)
+
+
+def read_cgns3d(filename: str):
+    """Read back block names and (Nk, Ni, Nj, 3) coordinate arrays."""
+    import h5py
+
+    names, blocks = [], []
+    with h5py.File(filename, "r") as f:
+        base = f["Base"]
+        for key, node in base.items():
+            if node.attrs.get("label", b"").rstrip(b"\x00") != b"Zone_t":
+                continue
+            # stored C-order (nk, nj, ni): invert the writer's transpose
+            x = node["GridCoordinates/CoordinateX/ data"][()]
+            y = node["GridCoordinates/CoordinateY/ data"][()]
+            z = node["GridCoordinates/CoordinateZ/ data"][()]
+            pts = np.stack([np.transpose(x, (0, 2, 1)),
+                            np.transpose(y, (0, 2, 1)),
+                            np.transpose(z, (0, 2, 1))], axis=-1)
+            names.append(key)
+            blocks.append(pts)
+    return names, blocks

@@ -146,18 +146,20 @@ class ShardedSmoother:
 
     def __init__(self, mesh, info: BoundaryInfo, n_devices: int | None = None,
                  devices=None, rtol: float = 1e-12, atol: float = 1e-14,
-                 restart: int = 30, max_restarts: int = 400):
+                 restart: int = 30, max_restarts: int = 400,
+                 mg_opts: dict | None = None):
         if devices is None:
             devices = jax.devices()
             if n_devices is not None:
                 devices = devices[:n_devices]
-        from ..smoothing.device import ensure_compilation_cache
+        from ..smoothing.device import DeviceSmoother, ensure_compilation_cache
 
         ensure_compilation_cache()
         self.devices = devices
         D = len(devices)
         self.rtol, self.atol = rtol, atol
         self.restart, self.max_restarts = restart, max_restarts
+        self.mg_opts = dict(DeviceSmoother.MG_DEFAULTS, **(mg_opts or {}))
 
         # sharded path keeps logical storage (transpose=False): its shard
         # plans, halo schedules and glue splits are built in the logical
@@ -707,6 +709,21 @@ class ShardedSmoother:
                 z = zf.reshape(z.shape)
                 return jnp.where(free_mask, z, 0.0)
 
+            def interface_passes(rr):
+                """Defect-correction iteration of the interface solve
+                (DeviceSmoother._interface_passes): extra passes on the
+                updated residual Gauss-Seidel the junction <-> chain <->
+                sliding coupling that a single pass never resolves —
+                measured as 75.6% of the scale-15 V-I stationary tail at
+                LAPLACIAN junction rows. One A apply (with its halo
+                exchange) per extra pass."""
+                z = interface32(rr)
+                for _ in range(int(self.mg_opts.get(
+                        "interface_passes", 2)) - 1):
+                    rr = rr - A_any(z)
+                    z = z + interface32(rr)
+                return z
+
             # coarse-space deflation (DeviceSmoother._defl_*): columns
             # are block-partitioned, so each device contracts/expands its
             # own block slice; one all_gather assembles the K-vector and
@@ -783,7 +800,7 @@ class ShardedSmoother:
                                   glue_fns=glue_fns)
                 z = jnp.where(smooth0 & free_mask, z, 0.0)
                 rr = v32 - A_any(z)
-                z = z0 + z + interface32(rr)
+                z = z0 + z + interface_passes(rr)
                 return z.astype(V.dtype)
 
             b = -apply_equations(q, baseXl, baseV, cfl, baseXl, baseV, True,
@@ -895,6 +912,7 @@ class ShardedSmoother:
             algorithm=None, start_iteration: int = 0,
             target_residual: float | None = None,
             residual_history: list | None = None,
+            restart_history: list | None = None,
             checkpoint_cb=None, checkpoint_every: int = 10):
         """Device-resident sharded Picard loop: the coordinate stack
         stays SHARDED across iterations (out_specs P('b') keeps the
@@ -943,6 +961,8 @@ class ShardedSmoother:
             log.info("\tresidual: %.6e", disp)
             if residual_history is not None:
                 residual_history.append(disp)
+            if restart_history is not None:
+                restart_history.append(self.last_restarts)
             n_done = n + 1
             if target_residual is not None and disp < target_residual:
                 log.info("converged: residual %.3e < target %.3e at "

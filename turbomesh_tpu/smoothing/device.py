@@ -443,9 +443,11 @@ class DeviceSmoother:
     #: deflation is cost-neutral at best (measured scale 2: 0.944 with
     #: vs 0.938 without, while prepare pays K extra operator applies);
     #: it remains an opt-in lever for slow-mode-dominated regimes.
+    #: interface_passes: defect-correction iterations of the interface
+    #: solve inside the preconditioner (see _interface_passes).
     MG_DEFAULTS = dict(pre=1, post=1, coarse_iters=4,
                        pre_dirs="ij", post_dirs="ij", n_levels=None,
-                       deflation=None)
+                       deflation=None, interface_passes=2)
 
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-13, atol: float = 1e-15,
@@ -1072,7 +1074,29 @@ class DeviceSmoother:
             z0 = jnp.zeros_like(vflat)
         z = self._stage_vcycle_interior(ctx, vflat)
         rr = vflat - self._stage_A32(ctx, z)
-        return z0 + z + self._stage_interface(ctx, rr)
+        return z0 + z + self._interface_passes(ctx, rr)
+
+    def _interface_passes(self, ctx, rr):
+        """Defect-correction iteration of the interface solve.
+
+        One _stage_interface pass solves chains exactly and junction/
+        sliding rows by a single Jacobi/substitution step, but never
+        resolves the COUPLING between the subsets: a junction row's
+        correction ignores its chain neighbors' corrections and vice
+        versa. At fine meshes that coupling owns the V-I stationary
+        tail — measured at scale 15 on the TPU (tools/mg_contraction.py):
+        75.6% of |r|^2 at LAPLACIAN junction rows + 15.4% sliding, walls
+        and interiors fully converged, contraction stuck at ~0.95 with
+        44% of the residual on ONE junction row. Extra passes re-solve
+        the interface on the updated residual (one cheap A32 apply per
+        pass vs the V-cycle's many sweeps), Gauss-Seidel-ing the
+        junction <-> chain <-> sliding coupling. mg_opts
+        interface_passes overrides (default 2)."""
+        z = self._stage_interface(ctx, rr)
+        for _ in range(int(self.mg_opts.get("interface_passes", 2)) - 1):
+            rr = rr - self._stage_A32(ctx, z)
+            z = z + self._stage_interface(ctx, rr)
+        return z
 
     def _stage_Minv_finish(self, ctx, vflat, z_interior):
         """Interface part of the preconditioner around a given interior
@@ -1081,7 +1105,7 @@ class DeviceSmoother:
         _stage_Minv, with z_interior standing in for the fused V-cycle."""
         z = z_interior.reshape(-1, 2)  # already masked by the vcycle stage
         rr = vflat - self._stage_A32(ctx, z)
-        return z + self._stage_interface(ctx, rr)
+        return z + self._interface_passes(ctx, rr)
 
     def _stage_inner(self, ctx, cf_pad, r64):
         """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
