@@ -293,11 +293,15 @@ def test_deflation_optin_parity():
 
     base = DeviceSmoother(mesh, info)
     defl = DeviceSmoother(mesh, info, mg_opts={"deflation": "y"})
+    dj = DeviceSmoother(mesh, info, mg_opts={"deflation": "j"})
     assert defl._defl_K > 0 and base._defl_K == 0
+    # junction-indicator mode: unit columns at the LAPLACIAN rows
+    assert dj._defl_mode == "junction" and dj._defl_K > 0
 
     cf = white.init(mesh)
     cb = mesh.flat_coords()
     cd = cb.copy()
+    cj = cb.copy()
     for n in range(3):
         if n > 0:
             mesh.set_flat_coords(cb)
@@ -306,6 +310,10 @@ def test_deflation_optin_parity():
         assert base.last_linear_converged, f"baseline stalled at iter {n}"
         cd = defl.solve(cd, cf)
         assert defl.last_linear_converged, f"deflated solve stalled at iter {n}"
+        cj = dj.solve(cj, cf)
+        assert dj.last_linear_converged, f"junction-deflated stalled at iter {n}"
+        errj = np.abs(cb - cj).max()
+        assert errj < 1e-9, f"junction deflation changed the solution: {errj:.3e}"
         err = np.abs(cb - cd).max()
         # both solvers converge to ~1e-15 residuals; through kappa(A)
         # ~1e5 and the diverging Picard trajectories (each solver

@@ -34,6 +34,7 @@ VARIANTS = {
     "ip1": {"mg_opts": {"interface_passes": 1}},
     "ip4": {"mg_opts": {"interface_passes": 4}},
     "defl": {"mg_opts": {"deflation": "y"}},
+    "defl_j": {"mg_opts": {"deflation": "j"}},
     "defl_ip4": {"mg_opts": {"deflation": "y", "interface_passes": 4}},
     "restart30": {"restart": 30, "max_restarts": 4},
 }
@@ -57,11 +58,19 @@ def run_one(scale: int, name: str):
     kw = dict(rtol=1e-6, atol=1e-8, restart=10, max_restarts=10)
     kw.update({k: v for k, v in opts.items() if k != "mg_opts"})
     dev = DeviceSmoother(mesh, info, mg_opts=opts.get("mg_opts"), **kw)
+    # solve twice: the first run pays any compiles (new program
+    # structures are variant-specific); the second, warm run is the
+    # comparable per-solve number.
+    t0 = time.perf_counter()
+    dev.solve(coords.copy(), cf)
+    dt1 = time.perf_counter() - t0
     t0 = time.perf_counter()
     dev.solve(coords.copy(), cf)
     dt = time.perf_counter() - t0
     return {
-        "variant": name, "scale": scale, "solve_s": round(dt, 1),
+        "variant": name, "scale": scale,
+        "solve1_s_incl_compile": round(dt1, 1),
+        "solve_s_warm": round(dt, 1),
         "granularity": dev.granularity,
         "linear_residual": dev.last_linear_residual,
         "converged": getattr(dev, "last_linear_converged", None),
@@ -82,12 +91,13 @@ def main():
             [sys.executable, os.path.abspath(__file__),
              "--child", str(scale), name],
             capture_output=True, text=True)
-        line = (out.stdout.strip().splitlines() or ["{}"])[-1]
+        line = (out.stdout.strip().splitlines() or [""])[-1]
         try:
             rec = json.loads(line)
-        except ValueError:
+            assert isinstance(rec, dict) and rec.get("variant")
+        except (ValueError, AssertionError):
             err = (out.stderr.strip().splitlines() or ["no output"])[-1]
-            rec = {"variant": name, "error": err[:200]}
+            rec = {"variant": name, "error": err[:300]}
         print(json.dumps(rec), flush=True)
 
 

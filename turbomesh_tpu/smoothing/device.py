@@ -496,15 +496,31 @@ class DeviceSmoother:
             defl = dict(self.MG_DEFAULTS, **(mg_opts or {})).get(
                 "deflation") or "0"
         self._defl_comps = {"y": (1,), "xy": (0, 1)}.get(defl, ())
-        if self._defl_comps:
+        self._defl_mode = "bilinear"
+        dfu = np.zeros((p.B, p.N, 2))
+        dfv = np.zeros((p.B, p.M, 2))
+        djr = np.zeros((0,), dtype=np.int64)
+        dkeep = np.zeros((0,))
+        self._defl_K = 0
+        if defl == "j":
+            # junction-indicator mode: unit columns at the LAPLACIAN
+            # (junction) rows, both components — the exact coupled
+            # junction solve each preconditioner application. The
+            # scale-15 V-I tail concentrates 75% on these ~10 rows
+            # (tools/mg_contraction.py on the chip); K = 2 * #junctions
+            # stays tiny at any mesh size.
+            jrows = np.unique(p.l_row)
+            if len(jrows):
+                self._defl_mode = "junction"
+                self._defl_comps = (0, 1)
+                djr = jrows
+                dkeep = p.free_mask.reshape(-1, 2)[jrows].astype(
+                    np.float64).ravel()
+                self._defl_K = len(dkeep)
+        elif self._defl_comps:
             dfu, dfv, dkeep = _defl_basis_arrays(
                 self._block_sizes, p.N, p.M, p.free_mask, self._defl_comps)
             self._defl_K = len(dkeep)
-        else:
-            dfu = np.zeros((p.B, p.N, 2))
-            dfv = np.zeros((p.B, p.M, 2))
-            dkeep = np.zeros((0,))
-            self._defl_K = 0
 
         self._jnp_plan = jax.tree.map(
             _as_dev,
@@ -518,7 +534,7 @@ class DeviceSmoother:
                 l=[p.l_row, p.l_stencil, p.l_weight, p.l_rhs],
                 s=[p.s_row, p.s_nb],
                 sl=[p.sl_row, p.sl_master, p.sl_off],
-                dfu=dfu, dfv=dfv, dkeep=dkeep,
+                dfu=dfu, dfv=dfv, djr=djr, dkeep=dkeep,
             ),
         )
         # f32 twin of the plan for the mixed-precision inner solver
@@ -909,8 +925,11 @@ class DeviceSmoother:
 
     def _defl_Wt(self, p32, vflat):
         """W^T v: (B*N*M, 2) -> (K,) coarse residual."""
+        vm = vflat * p32["free_mask"].reshape(-1, 2)
+        if self._defl_mode == "junction":
+            return vm[p32["djr"]].reshape(-1)
         B, N, M = self.plan.B, self.plan.N, self.plan.M
-        v = (vflat * p32["free_mask"].reshape(-1, 2)).reshape(B, N, M, 2)
+        v = vm.reshape(B, N, M, 2)
         outs = []
         for c in self._defl_comps:
             t = jnp.einsum("bnp,bnm->bpm", p32["dfu"], v[..., c])
@@ -922,6 +941,11 @@ class DeviceSmoother:
     def _defl_W(self, p32, alpha):
         """W alpha: (K,) -> (B*N*M, 2) correction field."""
         B, N, M = self.plan.B, self.plan.N, self.plan.M
+        if self._defl_mode == "junction":
+            z = jnp.zeros((B * N * M, 2), alpha.dtype)
+            z = z.at[p32["djr"]].set(alpha.reshape(-1, 2),
+                                     unique_indices=True)
+            return z * p32["free_mask"].reshape(-1, 2)
         C = len(self._defl_comps)
         a = alpha.reshape(B, 2, 2, C)
         z = jnp.zeros((B, N, M, 2), alpha.dtype)
@@ -1091,7 +1115,13 @@ class DeviceSmoother:
         the interface on the updated residual (one cheap A32 apply per
         pass vs the V-cycle's many sweeps), Gauss-Seidel-ing the
         junction <-> chain <-> sliding coupling. mg_opts
-        interface_passes overrides (default 2)."""
+        interface_passes overrides (default 2).
+
+        Measured scale-15 warm per-solve wall (tools/solve_rate_probe.py,
+        one chip): 1 pass 173.4 s, 2 passes 122.8 s (1.41x); 4 passes
+        ResourceExhausted the 16 GB chip at 15.9M padded points (each
+        unrolled pass adds live A-apply temporaries), so the default
+        stays at 2."""
         z = self._stage_interface(ctx, rr)
         for _ in range(int(self.mg_opts.get("interface_passes", 2)) - 1):
             rr = rr - self._stage_A32(ctx, z)
