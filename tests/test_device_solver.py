@@ -320,3 +320,24 @@ def test_deflation_optin_parity():
         # iterates its own coords) the agreement floor is ~2e-10 — a
         # recurrence of the stall would show as 1e-3+
         assert err < 1e-9, f"deflation changed the solution: {err:.3e}"
+
+
+def test_gauss_solve_f64_matches_numpy():
+    """gauss_solve_f64 replaces jnp.linalg.solve in the deflation
+    Galerkin algebra: f64 LuDecomposition does not lower on the TPU
+    ("Only F32 and C64 types are implemented in LuDecomposition" — the
+    scale-15 defl compile crash). Pivoting + accuracy vs numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    from turbomesh_tpu.smoothing.krylov import gauss_solve_f64
+
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 24, 63):
+        A = rng.standard_normal((n, n)) + 0.1 * n * np.eye(n)
+        if n > 2:
+            A[0, 0] = 0.0  # forces a row swap at the first pivot
+        b = rng.standard_normal(n)
+        x = np.asarray(jax.jit(gauss_solve_f64)(jnp.asarray(A),
+                                                jnp.asarray(b)))
+        assert np.linalg.norm(A @ x - b) < 1e-11 * np.linalg.norm(b)

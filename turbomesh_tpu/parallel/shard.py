@@ -629,7 +629,8 @@ class ShardedSmoother:
 
         def solve(q, Xl, cfl, interior_mask, free_mask, mg_masks, mg_maps):
             """One linearized solve on the sharded state."""
-            from ..smoothing.krylov import restarted_fgmres, thomas
+            from ..smoothing.krylov import (restarted_fgmres, thomas,
+                                            gauss_solve_f64)
             from ..smoothing.multigrid import build_glued_levels, v_cycle_glued
 
             exchange_S = make_exchange(ex_S, {o: q[f"sendS{o}"]
@@ -783,7 +784,9 @@ class ShardedSmoother:
                 v32 = V.astype(jnp.float32)
                 if K:
                     rhs = defl_Wt(v32).astype(jnp.float64) * dD
-                    alpha = dD * jnp.linalg.solve(dG, rhs)
+                    # NOT jnp.linalg.solve: f64 LuDecomposition doesn't
+                    # lower on TPU (smoothing.krylov.gauss_solve_f64)
+                    alpha = dD * gauss_solve_f64(dG, rhs)
                     z0 = defl_W(alpha.astype(jnp.float32))
                     Az0 = A_any(z0)
                     wv = (inv_row * v32).astype(jnp.float64)

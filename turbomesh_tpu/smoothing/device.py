@@ -998,8 +998,12 @@ class DeviceSmoother:
         is slow-mode-dominated (the stationary-refinement case deflation
         targets, where t ~ 1), a no-op on junk directions (t ~ 0)."""
         p32 = self._jnp_plan32
+        from .krylov import gauss_solve_f64
+
         rhs = self._defl_Wt(p32, vflat).astype(jnp.float64) * ctx["dD"]
-        alpha = ctx["dD"] * jnp.linalg.solve(ctx["dG"], rhs)
+        # NOT jnp.linalg.solve: f64 LuDecomposition doesn't lower on
+        # this TPU (see gauss_solve_f64)
+        alpha = ctx["dD"] * gauss_solve_f64(ctx["dG"], rhs)
         z0 = self._defl_W(p32, alpha.astype(jnp.float32))
         Az0 = self._stage_A32(ctx, z0)
         w = (1.0 / ctx["diag"].reshape(-1, 2)).astype(jnp.float64)

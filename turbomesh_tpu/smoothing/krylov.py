@@ -370,6 +370,42 @@ def thomas(dl, d, du, rhs):
     return jnp.moveaxis(x, 0, -2)
 
 
+def gauss_solve_f64(A, b):
+    """Dense f64 solve of a SMALL (K, K) system in plain arithmetic.
+
+    ``jnp.linalg.solve`` lowers to XLA's LuDecomposition custom op,
+    which this TPU runtime implements only for f32/c64 — compiling an
+    f64 solve aborts the whole program ("Only F32 and C64 types are
+    implemented in LuDecomposition; got shape f64[24,24]", the
+    deflation Galerkin solve at scale 15). The coarse-space algebra
+    must stay f64 (an f32 solve biases exactly the modes deflation
+    exists to eliminate and stalls the outer FGMRES — see
+    DeviceSmoother._defl_galerkin), so: Gauss-Jordan elimination with
+    partial pivoting via lax.fori_loop. O(K^3) scalar-ish work is
+    irrelevant at K <= O(100) coarse columns, and every op lowers to
+    supported f64 arithmetic on any backend.
+    """
+    n = A.shape[0]
+    Ab = jnp.concatenate([A, b[:, None]], axis=1)  # (n, n+1)
+    idx = jnp.arange(n)
+
+    def body(k, Ab):
+        col = jnp.abs(Ab[:, k])
+        col = jnp.where(idx < k, -1.0, col)  # pivot from rows >= k
+        p = jnp.argmax(col)
+        rk, rp = Ab[k], Ab[p]
+        Ab = Ab.at[k].set(rp).at[p].set(rk)
+        piv = Ab[k]
+        den = piv[k]
+        den = jnp.where(den == 0.0, 1.0, den)
+        piv = piv / den
+        Ab = Ab - Ab[:, k][:, None] * piv[None, :]
+        return Ab.at[k].set(piv)
+
+    Ab = jax.lax.fori_loop(0, n, body, Ab)
+    return Ab[:, n]
+
+
 def tridiag_pcr(dl, d, du, rhs):
     """Parallel cyclic reduction tridiagonal solve along the last-but-one
     axis of rhs; same signature/semantics as thomas().
