@@ -96,8 +96,13 @@ def main():
             rec = json.loads(line)
             assert isinstance(rec, dict) and rec.get("variant")
         except (ValueError, AssertionError):
-            err = (out.stderr.strip().splitlines() or ["no output"])[-1]
-            rec = {"variant": name, "error": err[:300]}
+            # last line matching an exception pattern beats the literal
+            # last line (JAX appends a traceback-filtering notice)
+            lines = out.stderr.strip().splitlines() or ["no output"]
+            errs = [ln for ln in lines
+                    if "Error" in ln or "Exception" in ln
+                    or "RESOURCE_EXHAUSTED" in ln or "ABORTED" in ln]
+            rec = {"variant": name, "error": (errs or lines)[-1][:300]}
         print(json.dumps(rec), flush=True)
 
 
