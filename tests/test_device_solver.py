@@ -341,3 +341,23 @@ def test_gauss_solve_f64_matches_numpy():
         x = np.asarray(jax.jit(gauss_solve_f64)(jnp.asarray(A),
                                                 jnp.asarray(b)))
         assert np.linalg.norm(A @ x - b) < 1e-11 * np.linalg.norm(b)
+
+
+def test_interface_passes_three_plus_parity():
+    """interface_passes >= 3 must converge to the same solution as the
+    default: regression for the unrolled defect-correction loop that
+    re-subtracted A(z_total) instead of A(dz) on the third and later
+    passes (wrong residual => the extra passes ADDED error; the
+    fori_loop form also bounds live temporaries to one pass — the
+    unrolled ip4 program ResourceExhausted a 16 GB chip at scale 15)."""
+    mesh = _o4h_mesh()
+    info = classify(mesh)
+    cf = Laplace().init(mesh)
+
+    base = DeviceSmoother(mesh, info)
+    ip4 = DeviceSmoother(mesh, info, mg_opts={"interface_passes": 4})
+    cb = base.solve(mesh.flat_coords(), cf)
+    c4 = ip4.solve(mesh.flat_coords(), cf)
+    assert base.last_linear_converged and ip4.last_linear_converged
+    err = np.abs(cb - c4).max()
+    assert err < 1e-9, f"4-pass interface solve changed the solution: {err:.3e}"

@@ -1006,12 +1006,17 @@ class DeviceSmoother:
         alpha = ctx["dD"] * gauss_solve_f64(ctx["dG"], rhs)
         z0 = self._defl_W(p32, alpha.astype(jnp.float32))
         Az0 = self._stage_A32(ctx, z0)
-        w = (1.0 / ctx["diag"].reshape(-1, 2)).astype(jnp.float64)
-        v64 = vflat.astype(jnp.float64)
-        Az64 = Az0.astype(jnp.float64)
-        num = jnp.sum((w * v64) * (w * Az64))
-        den = jnp.sum((w * Az64) ** 2) + jnp.float64(1e-300)
-        t = (num / den).astype(jnp.float32)
+        # The step length t needs only ~3 digits (it is a safeguard
+        # scaling, not an elimination): f32 dots avoid materializing
+        # three full-field f64 temporaries (~760 MB at 15.9M padded
+        # points — the margin between fitting and ResourceExhausted at
+        # scale 15). den is a sum of squares (no cancellation); num
+        # cancellation only perturbs t, which the guard tolerates.
+        w = 1.0 / ctx["diag"].reshape(-1, 2)
+        wA = w * Az0
+        num = jnp.sum((w * vflat) * wA)
+        den = jnp.sum(wA * wA) + jnp.float32(1e-30)
+        t = num / den
         return t * z0, vflat - t * Az0
 
     def _stage_vcycle_interior(self, ctx, vflat):
@@ -1122,14 +1127,25 @@ class DeviceSmoother:
         interface_passes overrides (default 2).
 
         Measured scale-15 warm per-solve wall (tools/solve_rate_probe.py,
-        one chip): 1 pass 173.4 s, 2 passes 122.8 s (1.41x); 4 passes
-        ResourceExhausted the 16 GB chip at 15.9M padded points (each
-        unrolled pass adds live A-apply temporaries), so the default
-        stays at 2."""
+        one chip): 1 pass 173.4 s, 2 passes 122.8 s (1.41x). Passes run
+        as a lax.fori_loop so peak live temporaries stay at ONE pass
+        regardless of the count (the earlier unrolled form
+        ResourceExhausted the 16 GB chip at 4 passes / 15.9M padded
+        points) and the residual update subtracts A(dz) of the LAST
+        increment, which the unrolled form got wrong for >= 3 passes
+        (it re-subtracted A of the running total)."""
+        n = int(self.mg_opts.get("interface_passes", 2))
         z = self._stage_interface(ctx, rr)
-        for _ in range(int(self.mg_opts.get("interface_passes", 2)) - 1):
-            rr = rr - self._stage_A32(ctx, z)
-            z = z + self._stage_interface(ctx, rr)
+        if n <= 1:
+            return z
+
+        def body(_, carry):
+            r_c, z_c, dz_c = carry
+            r_n = r_c - self._stage_A32(ctx, dz_c)
+            dz_n = self._stage_interface(ctx, r_n)
+            return r_n, z_c + dz_n, dz_n
+
+        _, z, _ = jax.lax.fori_loop(0, n - 1, body, (rr, z, z))
         return z
 
     def _stage_Minv_finish(self, ctx, vflat, z_interior):
