@@ -125,6 +125,11 @@ def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle):
     rec["granularity"] = dev.granularity
     rec["last_linear_residual"] = float(dev.last_linear_residual)
     rec["linear_solves_converged"] = _count_nonconverged() == nonconv
+    # inexact-Picard forcing terms actually used (adaptive when a
+    # target residual drives the run; the final iterations tighten to
+    # the instance rtol — see DeviceSmoother.run)
+    etas = sorted(set(getattr(dev, "last_run_rtols", []) or []))
+    rec["linear_rtols_used"] = etas
 
     if oracle:
         oracle_sys = SparseSystem(mesh, info)

@@ -361,3 +361,46 @@ def test_interface_passes_three_plus_parity():
     assert base.last_linear_converged and ip4.last_linear_converged
     err = np.abs(cb - c4).max()
     assert err < 1e-9, f"4-pass interface solve changed the solution: {err:.3e}"
+
+
+def test_adaptive_rtol_run_to_target_parity():
+    """Inexact Picard (adaptive forcing term): run(target_residual=...)
+    solves early iterations loosely (1e-2) and tightens to the instance
+    rtol for the endgame. The converged state must match the
+    fixed-tolerance run's — the fixed point of the Picard iteration does
+    not depend on the inner tolerance path."""
+    import os
+
+    mesh = _o4h_mesh()
+    info = classify(mesh)
+    cf = Laplace().init(mesh)
+    target = 1e-10
+
+    dev_a = DeviceSmoother(mesh, info, rtol=1e-6, atol=1e-8)
+    c_a, _, disp_a, n_a = dev_a.run(mesh.flat_coords(), cf.copy(), 60,
+                                    target_residual=target)
+    assert disp_a < target
+    # the schedule must actually have used BOTH tolerances
+    etas = set(dev_a.last_run_rtols)
+    assert 1e-2 in etas and 1e-6 in etas, f"schedule never adapted: {etas}"
+
+    env0 = os.environ.get("TURBOMESH_ADAPTIVE_RTOL")
+    os.environ["TURBOMESH_ADAPTIVE_RTOL"] = "0"
+    try:
+        dev_f = DeviceSmoother(mesh, info, rtol=1e-6, atol=1e-8)
+        c_f, _, disp_f, n_f = dev_f.run(mesh.flat_coords(), cf.copy(), 60,
+                                        target_residual=target)
+    finally:
+        if env0 is None:
+            del os.environ["TURBOMESH_ADAPTIVE_RTOL"]
+        else:
+            os.environ["TURBOMESH_ADAPTIVE_RTOL"] = env0
+    assert disp_f < target
+    assert set(dev_f.last_run_rtols) == {1e-6}
+    err = np.abs(c_a - c_f).max()
+    # both runs stop at the same outer criterion; the iterates agree to
+    # the criterion's own resolution (disp is the 4th-power metric:
+    # 1e-10 => ||d|| ~ 3e-3 * h-scale... in practice ~1e-7 coords here)
+    assert err < 1e-5, f"adaptive run diverged from fixed-tolerance: {err:.3e}"
+    # the loose iterations must not blow up the iteration count
+    assert n_a <= n_f + max(3, n_f // 3), (n_a, n_f)

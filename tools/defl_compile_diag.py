@@ -55,7 +55,8 @@ def main(scale: int):
         jnp.float32)
     step("defl_apply", lambda: dev._jit_defl(plans, ctx, r32))
     step("Minv", lambda: dev._jit_Minv(plans, ctx, r32))
-    step("inner(fused gmres)", lambda: dev._jit_inner(plans, ctx, C, b))
+    step("inner(fused gmres)",
+         lambda: dev._jit_inner(plans, ctx, C, b, jnp.float32(1e-6)))
     print("ALL OK", flush=True)
 
 

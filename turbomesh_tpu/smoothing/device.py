@@ -633,7 +633,12 @@ class DeviceSmoother:
         """(jittable_fn, plans_pytree) for the fused linearized-solve
         program: ``fn(plans, Xpad, cf_pad) -> (X1, stats)`` with the
         index plans as runtime arguments (AOT compile checks)."""
-        return self._swap_wrap(self._solve_impl), self._plans_arg
+        impl = self._swap_wrap(self._solve_impl)
+
+        def fn(plans, Xpad, cf_pad):
+            return impl(plans, Xpad, cf_pad, jnp.float64(self.rtol))
+
+        return fn, self._plans_arg
 
     # -- residual / operator --------------------------------------------------
 
@@ -757,14 +762,18 @@ class DeviceSmoother:
 
     # -- fused solve (f64 FGMRES / f32 glued-MG preconditioner) ---------------
 
-    def _solve_impl(self, Xpad, cf_pad):
+    def _solve_impl(self, Xpad, cf_pad, rtol):
         """One full linearized solve as a single jittable program:
         exact-f64 FGMRES over the equilibrated system, preconditioned by
         one f32 glued-multigrid V-I application per iteration. The f64
         operator applications are cheap (one stencil pass); the V-cycle
         dominates and runs in f32; FGMRES tolerates the varying f32
         preconditioner where standard GMRES's Arnoldi relation breaks.
-        Also the driver compile-check entry."""
+        Also the driver compile-check entry.
+
+        ``rtol`` is a TRACED f64 scalar (not a baked constant) so the
+        run-to-target Picard loop can adapt the forcing term per
+        iteration (inexact Picard) without recompiling the program."""
         from .krylov import restarted_fgmres
 
         base, b = self._stage_base(Xpad, cf_pad)
@@ -788,16 +797,16 @@ class DeviceSmoother:
             return self._stage_Minv(ctx, v32).astype(jnp.float64)
 
         b_s = inv_row * b
-        tol2 = jnp.maximum(self.rtol * jnp.linalg.norm(b), self.atol)
+        tol2 = jnp.maximum(rtol * jnp.linalg.norm(b), self.atol)
         d_s, rn_s = restarted_fgmres(
             A_s, b_s, M_s, dot=lambda x, y: jnp.sum(x * y),
-            rtol=jnp.float64(self.rtol), atol=jnp.float64(self.atol),
+            rtol=rtol, atol=jnp.float64(self.atol),
             restart=self.restart, max_restarts=self.max_restarts,
             w2=row_diag, tol2=tol2)
         delta = jnp.where(free64, d_s, 0.0)
         # true unequilibrated residual for the convergence report
         rnorm = jnp.linalg.norm(b - self._stage_apply64(base, cf_pad, delta))
-        tol_s = jnp.maximum(self.rtol * jnp.linalg.norm(b_s), self.atol)
+        tol_s = jnp.maximum(rtol * jnp.linalg.norm(b_s), self.atol)
         converged = jnp.logical_or(rn_s <= tol_s, rnorm <= tol2)
         X1 = self._stage_finish(base, delta)
         X1 = X1.reshape(Xpad.shape)
@@ -1157,8 +1166,10 @@ class DeviceSmoother:
         rr = vflat - self._stage_A32(ctx, z)
         return z + self._interface_passes(ctx, rr)
 
-    def _stage_inner(self, ctx, cf_pad, r64):
-        """f32 equilibrated GMRES on A32 d = r; returns f64 correction."""
+    def _stage_inner(self, ctx, cf_pad, r64, inner_rtol):
+        """f32 equilibrated GMRES on A32 d = r; returns f64 correction.
+        ``inner_rtol`` is a traced f32 scalar (adaptive forcing term —
+        one compiled program serves every tolerance)."""
         from .krylov import restarted_gmres
 
         diag_field = ctx["diag"]
@@ -1174,7 +1185,7 @@ class DeviceSmoother:
         r32 = inv_row * r64.astype(jnp.float32)
         d32, _ = restarted_gmres(
             A_s, r32, M_inv_s, dot=lambda x, y: jnp.sum(x * y),
-            rtol=jnp.float32(1e-6), atol=jnp.float32(0.0),
+            rtol=inner_rtol, atol=jnp.float32(0.0),
             restart=self.restart, max_restarts=self._inner_restarts(),
         )
         return d32.astype(jnp.float64)
@@ -1184,7 +1195,7 @@ class DeviceSmoother:
         Xf1 = baseF + jnp.where(free64, delta, 0.0)
         return self._substitute(Xf1, with_offsets=True)
 
-    def _inner_solve(self, ctx, C, rpad):
+    def _inner_solve(self, ctx, C, rpad, inner_rtol=1e-6):
         import os
 
         from .krylov import host_gmres
@@ -1198,7 +1209,8 @@ class DeviceSmoother:
         fused = (not self._force_host_inner
                  and os.environ.get("TURBOMESH_FUSED_INNER", "1") == "1")
         if fused:
-            return self._jit_inner(self._plans_arg, ctx, C, rpad)
+            return self._jit_inner(self._plans_arg, ctx, C, rpad,
+                                   jnp.float32(inner_rtol))
 
         p = self.plan
         B, N, M = p.B, p.N, p.M
@@ -1220,7 +1232,7 @@ class DeviceSmoother:
             return out
 
         r32 = inv_row * rpad.astype(jnp.float32)
-        d32, _ = host_gmres(A_s, M_s, r32, rtol=1e-6, atol=0.0,
+        d32, _ = host_gmres(A_s, M_s, r32, rtol=float(inner_rtol), atol=0.0,
                             restart=self.restart,
                             max_restarts=self.max_restarts)
         return d32.astype(jnp.float64)
@@ -1260,7 +1272,8 @@ class DeviceSmoother:
         log = logging.getLogger("turbomesh.device")
 
         def _run_fused():
-            X1, stats = self._solve_jit(self._plans_arg, X, C)
+            X1, stats = self._solve_jit(self._plans_arg, X, C,
+                                        jnp.float64(self.rtol))
             # materialize INSIDE the protected region: runtime-internal
             # failures of the compiled program surface at the first pull,
             # not at dispatch
@@ -1345,6 +1358,25 @@ class DeviceSmoother:
         upd = (make_device_update(algorithm, self._mesh, p)
                if algorithm is not None else None)
 
+        # Inexact Picard (adaptive forcing term): when the caller asked
+        # for a TARGET residual (run-to-convergence mode), the linear
+        # solves only need enough accuracy to preserve the outer
+        # contraction — a relative inner residual eta adds ~eta*|d| to
+        # the next displacement, so eta=1e-2 perturbs the Picard
+        # trajectory by ~1% per iteration while each solve gets several
+        # times cheaper. The final iterations (within ~30x of target in
+        # the reference's 4th-power displacement metric, i.e. 1e6x in
+        # that metric) run at the full instance rtol so the converged
+        # state is solver-tight. Fixed-iteration runs (the reference's
+        # own semantics, smooth.zig:104) keep the fixed tolerance.
+        adaptive = (target_residual is not None
+                    and os.environ.get("TURBOMESH_ADAPTIVE_RTOL", "1") == "1"
+                    and self.mg_opts.get("adaptive_rtol", True))
+        eta_loose = max(self.rtol, 1e-2)
+        #: per-iteration linear-solve tolerances of the last run()
+        #: (reported by bench.py so adaptive entries self-document)
+        self.last_run_rtols = []
+
         X = jnp.asarray(p.pad_coords(coords).reshape(p.B, p.N, p.M, 2))
         C = jnp.asarray(p.pad_cf(cf).reshape(p.B, p.N, p.M, 2))
 
@@ -1357,18 +1389,23 @@ class DeviceSmoother:
             log.info("iteration: %d", n)
             if n > 0 and upd is not None:
                 C = upd(X, C)
+            eta = self.rtol
+            if adaptive and disp > target_residual * 1e6:
+                eta = eta_loose
+            self.last_run_rtols.append(eta)
             while True:  # granularity-degradation retry of THIS iteration
                 try:
                     if use_staged:
                         # staged stepper: X stays in HBM; _solve_staged_dev
                         # pulls one scalar per refinement pass (and warns
                         # on non-convergence itself — stats ok stays 1)
-                        Xn = self._solve_staged_dev(X, C)
+                        Xn = self._solve_staged_dev(X, C, rtol=eta)
                         d2 = float(self._jit_disp(Xn, X))
                         stats = np.array(
                             [self.last_linear_residual, 1.0, d2 * d2])
                     else:
-                        Xn, stats = self._solve_jit(self._plans_arg, X, C)
+                        Xn, stats = self._solve_jit(self._plans_arg, X, C,
+                                                    jnp.float64(eta))
                         stats = np.asarray(stats)  # materialize in guard
                     break
                 except Exception as e:  # noqa: BLE001 — degrade granularity
@@ -1479,10 +1516,12 @@ class DeviceSmoother:
         # reshape to (P, 2) can insert a 64x-padded layout copy
         return np.asarray(X1).reshape(-1, 2)[p.scatter_idx]
 
-    def _solve_staged_dev(self, X, C):
+    def _solve_staged_dev(self, X, C, rtol=None):
         """Device-level staged solve: padded stack in, padded stack out
         (both stay in HBM — run()'s device-resident Picard loop calls
-        this per iteration at staged granularity).
+        this per iteration at staged granularity). ``rtol`` overrides
+        the instance tolerance for this one solve (adaptive forcing —
+        see run()); None keeps self.rtol.
 
         Architecture, shaped by three measured TPU-runtime constraints
         at multi-million-node scale:
@@ -1528,7 +1567,13 @@ class DeviceSmoother:
         ctx = self._jit_prepare32(self._plans_arg, baseF, C)
         jax.block_until_ready(ctx)
         bnorm = float(self._jit_norm(b))
-        tol = max(self.rtol * bnorm, self.atol)
+        if rtol is None:
+            rtol = self.rtol
+        tol = max(rtol * bnorm, self.atol)
+        # inner forcing: slightly tighter than the outer target so one
+        # refinement pass can land under tol; floored at 1e-6 (the f32
+        # inner's attainable contraction at extreme wall clustering)
+        inner_rtol = max(1e-6, 0.3 * rtol)
 
         x = self._jit_zeros(b)
         r = b
@@ -1537,7 +1582,7 @@ class DeviceSmoother:
         k = 0
         while rn > tol and k < self.max_refine:
             try:
-                d = self._inner_solve(ctx, C, r)
+                d = self._inner_solve(ctx, C, r, inner_rtol)
                 jax.block_until_ready(d)  # runtime failures surface here
             except Exception as e:  # noqa: BLE001 — degrade granularity
                 if not _recoverable_failure(e) or self._force_host_inner \
@@ -1573,7 +1618,7 @@ class DeviceSmoother:
         if rn > tol:
             _dev_log.debug("refinement ended at %.3e after %d passes; "
                            "f64 tail", rn, k)
-            x, rn, met_s = self._f64_tail(baseF, C, ctx, b, x)
+            x, rn, met_s = self._f64_tail(baseF, C, ctx, b, x, rtol)
         if rn > tol and not met_s:
             # dual criterion as in _solve_impl: equilibrated (row-
             # relative, what the 1e-10 parity bar needs) OR the
@@ -1585,7 +1630,7 @@ class DeviceSmoother:
         X1 = self._jit_finish(self._plans_arg, baseF, x)
         return X1.reshape(X.shape)
 
-    def _f64_tail(self, baseF, C, ctx, b, x):
+    def _f64_tail(self, baseF, C, ctx, b, x, rtol=None):
         """Exact-f64 equilibrated FGMRES from iterate ``x`` via
         host-orchestrated jitted pieces; returns (x1, plain residual
         norm, met_equilibrated_tol). The equilibrated system D^-1 A has
@@ -1594,10 +1639,12 @@ class DeviceSmoother:
         from .krylov import host_fgmres
 
         plans = self._plans_arg
+        if rtol is None:
+            rtol = self.rtol
 
         b_s, _bn, bnorm_s = self._jit_equil(plans, ctx, b)
-        tol_s = max(self.rtol * float(bnorm_s), self.atol)
-        tol_plain = max(self.rtol * float(_bn), self.atol)
+        tol_s = max(rtol * float(bnorm_s), self.atol)
+        tol_plain = max(rtol * float(_bn), self.atol)
         _dev_log.debug("f64 tail: bnorm=%.3e bnorm_s=%.3e tol_s=%.3e "
                        "restart=%d max_restarts=%d", float(_bn),
                        float(bnorm_s), tol_s, self._staged_restart(),
