@@ -96,7 +96,7 @@ def exchange_volume_bytes(ex, itemsize: int, ncomp: int = 2) -> int:
 
 
 def sweep(n: int, devices, picard: int, rtol: float, atol: float,
-          label: str):
+          label: str, checkpoint=None, sink=None):
     """One scaling sweep: for each device count, the FULL sharded Picard
     run loop (ShardedSmoother.run — field stays sharded across
     iterations) on a 16-block n x n-per-block mesh. Records setup time,
@@ -117,6 +117,8 @@ def sweep(n: int, devices, picard: int, rtol: float, atol: float,
         "rtol": rtol,
         "runs": [],
     }
+    if sink is not None:
+        sink.append(section)
     sols = {}
     for D in devices:
         if D > len(jax.devices()):
@@ -158,6 +160,8 @@ def sweep(n: int, devices, picard: int, rtol: float, atol: float,
         }
         section["runs"].append(rec)
         print(json.dumps(rec), flush=True)
+        if checkpoint is not None:
+            checkpoint()
 
     iters = [r["fgmres_iters_total"] for r in section["runs"]]
     section["iterations_flat_vs_devices"] = bool(
@@ -189,16 +193,23 @@ def main():
         "platform": jax.devices()[0].platform,
         "sweeps": [],
     }
+
+    def checkpoint():
+        # incremental write: a multi-hour single-core sweep must not
+        # lose completed runs to a kill/timeout
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+
     if n_flat:
-        result["sweeps"].append(sweep(
-            n_flat, (1, 2, 4, 8), picard, rtol=1e-6, atol=1e-8,
-            label="iteration-flatness vs device count"))
+        sweep(n_flat, (1, 2, 4, 8), picard, rtol=1e-6, atol=1e-8,
+              label="iteration-flatness vs device count",
+              checkpoint=checkpoint, sink=result["sweeps"])
+        checkpoint()
     if n_big:
-        result["sweeps"].append(sweep(
-            n_big, (8,), picard, rtol=1e-6, atol=1e-8,
-            label="north-star shape (16 blocks, BASELINE config 4)"))
-    with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+        sweep(n_big, (8,), picard, rtol=1e-6, atol=1e-8,
+              label="north-star shape (16 blocks, BASELINE config 4)",
+              checkpoint=checkpoint, sink=result["sweeps"])
+    checkpoint()
     print(f"wrote {out_path}", flush=True)
 
 
