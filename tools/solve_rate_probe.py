@@ -37,6 +37,10 @@ VARIANTS = {
     "defl_j": {"mg_opts": {"deflation": "j"}},
     "defl_ip4": {"mg_opts": {"deflation": "y", "interface_passes": 4}},
     "restart30": {"restart": 30, "max_restarts": 4},
+    # larger per-dispatch f32 iteration budget: fewer host round-trips
+    # per refinement pass, still under the ~100-105 s execution watchdog
+    # (80 s nominal at scale 15 leaves ~25% headroom for runtime drift)
+    "prog80": {"env": {"TURBOMESH_MAX_PROGRAM_SECS": "80"}},
 }
 
 
@@ -55,6 +59,10 @@ def run_one(scale: int, name: str):
           f"{time.perf_counter()-t0:.1f} s", file=sys.stderr, flush=True)
 
     opts = dict(VARIANTS[name])
+    # env-knob variants: set in this child process only (main() runs one
+    # subprocess per variant, so nothing leaks across variants)
+    for k, v in opts.pop("env", {}).items():
+        os.environ[k] = v
     kw = dict(rtol=1e-6, atol=1e-8, restart=10, max_restarts=10)
     kw.update({k: v for k, v in opts.items() if k != "mg_opts"})
     dev = DeviceSmoother(mesh, info, mg_opts=opts.get("mg_opts"), **kw)
