@@ -18,22 +18,15 @@ f64 is enabled globally: the correctness bar is 1e-10 node-for-node
 agreement with the reference discretization.
 """
 
-import os
-
 import jax
 
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: f64-emulation compiles are expensive on TPU;
-# cache them across processes
-_cache_dir = os.environ.get("TURBOMESH_JAX_CACHE",
-                            os.path.expanduser("~/.cache/turbomesh_jax"))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:  # pragma: no cover — cache is best-effort
-    pass
+# NOTE: the persistent compilation cache is configured lazily at smoother
+# construction (smoothing.device.ensure_compilation_cache), NOT at import:
+# importing the library must not mutate global JAX config beyond the
+# documented f64 requirement, and an application-configured cache dir is
+# always respected.
 
 from . import types  # noqa: E402
 from . import clustering  # noqa: E402

@@ -56,8 +56,7 @@ def ensure_compilation_cache() -> None:
     byte-stable across processes once index plans are jit *arguments*
     (not HLO constants): repeat runs at the same padded shape hit the
     cache and skip compilation entirely (measured: 407 s -> sub-second).
-    Cache location: $TURBOMESH_JAX_CACHE, else <repo>/.jax_cache when
-    running from a checkout, else ~/.cache/turbomesh_tpu/jax.
+    Cache location: $TURBOMESH_JAX_CACHE, else ~/.cache/turbomesh_jax.
     Only programs that took >= 2 s to compile are stored, so the cache
     stays small. TURBOMESH_JAX_CACHE=0 disables.
 
@@ -75,13 +74,7 @@ def ensure_compilation_cache() -> None:
     if jax.config.jax_compilation_cache_dir:
         return  # application already configured a cache — leave it alone
     if not loc:
-        import pathlib
-
-        repo = pathlib.Path(__file__).resolve().parents[2]
-        if (repo / "pyproject.toml").exists():
-            loc = str(repo / ".jax_cache")
-        else:
-            loc = os.path.expanduser("~/.cache/turbomesh_tpu/jax")
+        loc = os.path.expanduser("~/.cache/turbomesh_jax")
     try:
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
