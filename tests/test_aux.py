@@ -1,5 +1,7 @@
 """Auxiliary subsystems: 3-D extrusion, checkpoint/resume, profiling."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -107,3 +109,26 @@ def test_phase_timer_report():
         pass
     rep = t.report(nodes=1000)
     assert "a:" in rep and "2x" in rep and "Mnodes/s" in rep
+
+
+def test_import_does_not_configure_compilation_cache():
+    """Importing the library must not mutate global JAX config beyond the
+    documented x64 requirement (ADVICE r3: cache setup is deferred to
+    smoother construction and respects an application-configured dir)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import turbomesh_tpu, jax; "
+        "assert jax.config.jax_compilation_cache_dir is None, "
+        "jax.config.jax_compilation_cache_dir; "
+        "assert jax.config.jax_enable_x64; "
+        "from turbomesh_tpu.smoothing.device import ensure_compilation_cache; "
+        "ensure_compilation_cache(); "
+        "assert jax.config.jax_compilation_cache_dir, 'deferred setup inert'"
+    )
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("TURBOMESH_JAX_CACHE", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr[-1500:]
