@@ -1,56 +1,97 @@
-"""Benchmark: elliptic smoothing throughput (Mnodes/s/chip) on TPU.
+"""Benchmark: elliptic smoothing wall-clock + throughput on TPU.
 
 Scaling sweep over mesh sizes: for each scale the TPU device smoother
 runs its device-resident Picard loop (DeviceSmoother.run — field stays
 in HBM, one stats vector crosses per iteration) to the BASELINE.md
-target residual 1e-10, recording throughput, seconds-to-target, which
-program granularity actually ran (fused / staged / host-orchestrated),
-setup and compile time, a cold/warm compile-cache flag, and whether
-every linearized solve converged. The sweep also runs the reference's
-own example configs UNCHANGED (BASELINE configs 1-3: LS89 + T106,
+target residual 1e-10, recording run-to-target throughput,
+seconds-to-target, the per-iteration device rate, which program
+granularity ran (fused / staged / host-orchestrated), setup and compile
+time, a cold/warm compile-cache flag, and whether every linearized
+solve converged. The sweep also runs the reference's own example
+configs UNCHANGED (BASELINE configs 1-3: LS89 + T106,
 examples/LS89/LS89.json:28-41) as dedicated entries. The host
 sparse-direct oracle (scipy splu on the exact reference
 discretization — stands in for the reference's serial UMFPACK backend,
-umfpack.zig:29-55) runs at scales <= oracle_max for the honest
+umfpack.zig:29-55) runs at scales <= ORACLE_MAX for the honest
 vs_baseline ratio.
 
-Two throughput rates are reported per entry (they answer different
-questions):
+Two throughput rates are reported per entry (different questions):
+  run_to_target_mnodes_per_s : nodes / seconds-to-1e-10 — the HEADLINE
+                               (`value`): the decision-relevant rate the
+                               BASELINE.md target is phrased in.
   device_mnodes_per_s        : nodes x picard_iters / seconds — the
                                per-iteration device rate (capacity).
-  run_to_target_mnodes_per_s : nodes / seconds-to-1e-10 — the
-                               decision-relevant wall-clock rate the
-                               BASELINE.md target is phrased in.
 
-Prints ONE JSON line:
-  value        : device throughput at the largest completed scale.
-  vs_baseline  : device / host-direct at the largest scale where both
-                 ran (below 1.0 = the TPU path loses there).
+DEADLINE-AWARE AND UN-LOSABLE (the round-3 and round-4 driver artifacts
+were both lost to the driver's bench timeout — rc 124, parsed null):
+  * The full final-format artifact JSON is printed to stdout (and
+    written to BENCH_PARTIAL.json) after EVERY completed entry, so a
+    kill at any moment leaves the most recent cumulative line parseable.
+  * A total wall budget (TURBOMESH_BENCH_BUDGET_S, default 1020 s)
+    bounds the sweep: entries are ordered most-valuable-first (scale 4,
+    then the 5.4M-node scale 15, then the reference examples, then the
+    rest) and an entry is skipped when its cost estimate exceeds the
+    remaining budget.
+  * SIGTERM/SIGINT kill the running worker subprocess and emit the
+    final artifact from whatever completed.
+  * Entries run inside ONE serialized batch subprocess (the tunneled
+    TPU runtime's worker can crash outright; a fresh process gets a
+    restarted worker, and two attached processes wedge the chip) that
+    streams one JSON line per entry; on a crash-class failure the
+    remaining entries are retried in a fresh process, cooldown and
+    retries bounded by the remaining budget.
+
+Prints the artifact JSON line (cumulatively, after every entry):
+  value        : run-to-target Mnodes/s/chip at the headline entry (the
+                 largest completed entry that reached 1e-10).
+  vs_baseline  : device per-iteration rate / host sparse-direct
+                 per-iteration rate at the largest scale where both ran
+                 (below 1.0 = the TPU path loses there).
   detail.sweep : one record per scale / example.
   detail.north_star_projection : derived <60s/100M-node distance, with
                  stated assumptions.
 
 Usage: python bench.py [scales_csv] [picard_cap]
-  e.g. python bench.py 1,2,4,15,8 30
+  e.g. python bench.py 4,15,8 30
   scale s multiplies every O4H cell count (nodes ~ 25k * s^2).
 """
 
 import json
 import os
+import signal
+import sys
 import time
 
 import numpy as np
 
 import jax
 
+# honor an explicit JAX_PLATFORMS request (the axon sitecustomize
+# re-pins the platform at plugin registration, so the env var alone is
+# not enough — same pattern as tests/conftest.py). No-op when unset.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 TARGET = 1e-10           # BASELINE.md: displacement-norm residual target
 ORACLE_MAX = 4           # largest scale the host splu oracle runs at
-WALL_CAP_S = 1500.0      # per-scale cap on the run-to-target loop
+WALL_CAP_S = 1500.0      # per-entry cap on the run-to-target loop
+BUDGET_S = float(os.environ.get("TURBOMESH_BENCH_BUDGET_S", "1020"))
 NORTH_STAR_NODES = 100e6
 NORTH_STAR_CHIPS = 8
-NORTH_STAR_ITERS = 15    # observed Picard count to 1e-10 at scale 4
+
+# Per-entry wall estimates on the tunneled TPU (round-4/5 measurements,
+# COLD process: ~60 s device init + minutes of partial cache service +
+# the run itself). Used only for budget-fit decisions; entries that
+# share a worker process amortize the init.
+_EST_S = {"scale1": 200.0, "scale2": 220.0, "scale4": 280.0,
+          "scale8": 600.0, "scale15": 700.0,
+          "LS89": 260.0, "T106": 280.0, "sor": 90.0}
+_EST_DEFAULT = 400.0
+_AMORTIZED_DISCOUNT = 120.0   # init+attach already paid in a live worker
+
+_PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PARTIAL.json")
 
 
 def build_mesh(scale_cells: int = 4):
@@ -149,10 +190,10 @@ def bench_scale(scale: int, picard_cap: int, oracle: bool):
     rec = {"scale_cells": scale}
     # the "max-compilable" sweep entry (scale > 8, ~5.4M nodes at 15)
     # runs a bounded number of Picard iterations: one staged linearized
-    # solve there takes minutes, so running to the 1e-10 Picard target
-    # would dominate the whole sweep. The per-solve convergence and
-    # throughput are what the entry documents; picard_capped records
-    # that the Picard target was NOT chased.
+    # solve there takes minutes. Measured round 4: the Laplace run
+    # reaches the 1e-10 target in 2 Picard iterations (adaptive
+    # forcing), so the cap of 3 does not prevent reached_target=true;
+    # picard_capped records that the cap was in force.
     if scale > 8:
         picard_cap = min(picard_cap, 3)
     rec["picard_capped"] = scale > 8
@@ -220,59 +261,14 @@ def _crash_class(err: str) -> bool:
     the driver's failures read 'ABORTED: TPU backend error (Aborted).'"""
     return any(t in err for t in (
         "UNAVAILABLE", "ABORTED", "Aborted", "INTERNAL",
-        "TPU backend error", "worker process crashed", "DEADLINE"))
-
-
-def _run_entry_subprocess(args_tail, key, val, extra_env=None):
-    """Run one sweep entry in a SUBPROCESS. The tunneled TPU runtime's
-    worker process can crash outright on specific program sequences;
-    once it dies, every device call in the SAME process fails, but a
-    fresh process gets a restarted worker. Isolating each entry keeps
-    one crash from voiding the rest of the sweep."""
-    import json as _json
-    import subprocess
-    import sys as _sys
-
-    cmd = [_sys.executable, os.path.abspath(__file__)] + args_tail
-    env = dict(os.environ)
-    env.update(extra_env or {})
-    try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=3 * WALL_CAP_S, env=env)
-    except subprocess.TimeoutExpired:
-        return {key: val, "error": "subprocess timeout"}
-    _sys.stderr.write(out.stderr[-4000:])
-    for line in reversed(out.stdout.strip().splitlines()):
-        try:
-            rec = _json.loads(line)
-            if isinstance(rec, dict) and rec.get(key) == val:
-                return rec
-        except ValueError:
-            continue
-    err = (out.stderr.strip().splitlines() or ["no output"])[-1]
-    return {key: val, "error": err[:200]}
-
-
-def _run_with_retries(args_tail, key, val):
-    """Crash-class failures get bounded cooldown retries (the worker
-    restarts for a fresh process); the LAST retry additionally forces
-    the staged granularity (TURBOMESH_FUSED_SOLVE=0) in case the fused
-    program's dispatch is what kills the worker."""
-    rec = _run_entry_subprocess(args_tail, key, val)
-    for attempt in range(3):
-        if "error" not in rec or not _crash_class(rec["error"]):
-            return rec
-        time.sleep(60)
-        extra = {"TURBOMESH_FUSED_SOLVE": "0"} if attempt == 2 else None
-        rec = _run_entry_subprocess(args_tail, key, val, extra_env=extra)
-    return rec
+        "TPU backend error", "worker process crashed", "DEADLINE",
+        "worker exited", "worker killed"))
 
 
 def _sor_probe():
-    """Pure on-chip SOR kernel rate + platform (runs inside a worker
-    subprocess — see _run_entry_subprocess's rationale). The timing
-    loop is CHAINED (each call's x0 is the previous call's output), so
-    the 10 dispatches cannot overlap and the measured rate is a real
+    """Pure on-chip SOR kernel rate + platform. The timing loop is
+    CHAINED (each call's x0 is the previous call's output), so the 10
+    dispatches cannot overlap and the measured rate is a real
     serial-execution rate."""
     from turbomesh_tpu.ops.sor import red_black_sor
     import jax.numpy as jnp
@@ -302,81 +298,286 @@ def _sor_probe():
                           use_pallas=use_pallas)
     x.block_until_ready()
     rate = nb * mb * 50 * 10 / (time.perf_counter() - t0) / 1e6
-    return {"pallas_sor_mnode_sweeps_per_s": round(rate, 0),
-            "platform": platform, "timing": "chained"}
+    return {"entry": "sor", "timing": "chained", "platform": platform,
+            "pallas_sor_mnode_sweeps_per_s": round(rate, 0)}
+
+
+# ---------------------------------------------------------------------------
+# entry specs + worker protocol
+# ---------------------------------------------------------------------------
+
+def _spec_key(spec):
+    if spec["kind"] == "scale":
+        return "scale%d" % spec["scale"]
+    if spec["kind"] == "example":
+        return spec["name"]
+    return spec["kind"]
+
+
+def _spec_ident(spec):
+    """(key, value) pair identifying this spec's record in the sweep."""
+    if spec["kind"] == "scale":
+        return "scale_cells", spec["scale"]
+    if spec["kind"] == "example":
+        return "example", spec["name"]
+    return "entry", "sor"
+
+
+def _run_spec(spec, picard_cap):
+    if spec["kind"] == "scale":
+        s = spec["scale"]
+        return bench_scale(s, picard_cap, oracle=s <= ORACLE_MAX)
+    if spec["kind"] == "example":
+        return bench_example(spec["name"], picard_cap)
+    return _sor_probe()
+
+
+def _worker_main(specs_json: str, deadline_rel: float, picard_cap: int):
+    """Batch worker: runs entries in order inside ONE TPU-attached
+    process (amortizing the ~60 s device attach + partial cache
+    service), printing one flushed JSON line per entry. Skips an entry
+    when its cost estimate exceeds the remaining budget (the first
+    entry is always attempted)."""
+    _install_warning_counter()
+    t0 = time.perf_counter()
+    specs = json.loads(specs_json)
+    for i, spec in enumerate(specs):
+        remaining = deadline_rel - (time.perf_counter() - t0)
+        est = _EST_S.get(_spec_key(spec), _EST_DEFAULT)
+        if i > 0:
+            est = max(60.0, est - _AMORTIZED_DISCOUNT)
+        if i > 0 and est > remaining:
+            k, v = _spec_ident(spec)
+            print(json.dumps({k: v, "skipped": "budget",
+                              "estimate_s": est,
+                              "remaining_s": round(remaining, 0)}),
+                  flush=True)
+            continue
+        try:
+            rec = _run_spec(spec, picard_cap)
+        except Exception as e:  # noqa: BLE001 — report, don't crash silent
+            import traceback
+
+            traceback.print_exc()
+            k, v = _spec_ident(spec)
+            rec = {k: v, "error": str(e).splitlines()[0][:200]}
+        print(json.dumps(rec), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent: budgeted, incremental, SIGTERM-safe supervisor
+# ---------------------------------------------------------------------------
+
+class _Supervisor:
+    def __init__(self, specs, picard_cap):
+        self.specs = specs
+        self.picard_cap = picard_cap
+        self.t0 = time.perf_counter()
+        self.sweep = {}          # spec_key -> record
+        self.order = [_spec_key(s) for s in specs]
+        self.attempts = {k: 0 for k in self.order}
+        self.proc = None
+        self.stopping = False
+
+    # -- budget -----------------------------------------------------------
+    def remaining(self):
+        return BUDGET_S - (time.perf_counter() - self.t0)
+
+    # -- artifact ---------------------------------------------------------
+    def emit(self, final=False):
+        sweep = [self.sweep[k] for k in self.order if k in self.sweep]
+        entries = [r for r in sweep if r.get("entry") != "sor"]
+        sor = next((r for r in sweep if r.get("entry") == "sor"), {})
+        done = [r for r in entries if "run_to_target_mnodes_per_s" in r]
+        both = [r for r in done if "host_direct_mnodes_per_s" in r]
+        reached = [r for r in done if r.get("reached_target")]
+        head = (max(reached, key=lambda r: r["nodes"]) if reached
+                else max(done, key=lambda r: r["nodes"]) if done else {})
+        ratio_rec = max(both, key=lambda r: r["nodes"]) if both else {}
+        vs = (ratio_rec.get("device_mnodes_per_s", 0.0)
+              / ratio_rec["host_direct_mnodes_per_s"]) if both else 0.0
+
+        # derived distance to the BASELINE north star (<60 s for a
+        # 100M-node smoothing on 8 chips), projected from the measured
+        # per-chip RUN-TO-TARGET rate. Stated assumptions: run-to-target
+        # rate flat in mesh size (Picard count measured ~flat: 2 at
+        # scale 15 Laplace) and in device count (MULTICHIP_SCALING:
+        # FGMRES iterations exactly flat over D in {1,2,4,8}).
+        rate = head.get("run_to_target_mnodes_per_s", 0.0)
+        projection = {
+            "target_s": 60.0,
+            "assumes": f"{NORTH_STAR_NODES:.0e} nodes, "
+                       f"{NORTH_STAR_CHIPS} chips, run-to-target rate "
+                       "flat in mesh size and device count "
+                       "(iteration flatness measured in "
+                       "MULTICHIP_SCALING_r04.json)",
+            "projected_s": (round(NORTH_STAR_NODES
+                                  / (rate * 1e6) / NORTH_STAR_CHIPS, 1)
+                            if rate else None),
+        }
+
+        line = json.dumps({
+            "metric": "elliptic_smoothing_run_to_target",
+            "value": rate,
+            "unit": "Mnodes/s/chip",
+            "vs_baseline": round(vs, 3),
+            "detail": {
+                "value_is": "nodes / seconds-to-1e-10 at the headline "
+                            "entry (largest that reached the target)",
+                "headline_scale": head.get("scale_cells",
+                                           head.get("example")),
+                "headline_nodes": head.get("nodes"),
+                "headline_seconds_to_target": head.get("seconds_to_1e-10"),
+                "headline_device_mnodes_per_s": head.get(
+                    "device_mnodes_per_s"),
+                "vs_baseline_scale": ratio_rec.get("scale_cells"),
+                "vs_baseline_is": "device vs host-splu PER-ITERATION "
+                                  "rate at the largest scale both ran",
+                "target_residual": TARGET,
+                "budget_s": BUDGET_S,
+                "elapsed_s": round(time.perf_counter() - self.t0, 1),
+                "complete": final and not any(
+                    k not in self.sweep for k in self.order),
+                "sweep": sweep,
+                "north_star_projection": projection,
+                "pallas_sor_mnode_sweeps_per_s": sor.get(
+                    "pallas_sor_mnode_sweeps_per_s", 0.0),
+                "platform": sor.get("platform"),
+            },
+        })
+        print(line, flush=True)
+        try:
+            with open(_PARTIAL_PATH, "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+
+    # -- worker management --------------------------------------------------
+    def _kill_worker(self):
+        if self.proc and self.proc.poll() is None:
+            try:
+                self.proc.kill()
+                self.proc.wait(timeout=10)
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _on_term(self, signum, frame):
+        # emit the final artifact from whatever is done, then exit.
+        self.stopping = True
+        self._kill_worker()
+        self.emit(final=True)
+        os._exit(0)
+
+    def pending(self):
+        return [s for s in self.specs if _spec_key(s) not in self.sweep
+                and self.attempts[_spec_key(s)] < 3]
+
+    def run(self):
+        import subprocess
+
+        signal.signal(signal.SIGTERM, self._on_term)
+        signal.signal(signal.SIGINT, self._on_term)
+        self.emit()  # an artifact exists from second zero
+
+        cooldown = 0.0
+        while not self.stopping:
+            pend = self.pending()
+            if not pend:
+                break
+            first_est = _EST_S.get(_spec_key(pend[0]), _EST_DEFAULT)
+            if self.remaining() < min(first_est, 150.0):
+                break
+            if cooldown:
+                time.sleep(min(cooldown, max(0.0, self.remaining() - 60)))
+            for s in pend:
+                self.attempts[_spec_key(s)] += 1
+            extra_env = {}
+            if any(self.attempts[_spec_key(s)] >= 3 for s in pend):
+                # last-chance retry: force the staged granularity in
+                # case the fused program's dispatch kills the worker
+                extra_env["TURBOMESH_FUSED_SOLVE"] = "0"
+            env = dict(os.environ)
+            env.update(extra_env)
+            deadline_rel = max(60.0, self.remaining() - 45.0)
+            cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+                   json.dumps(pend), str(deadline_rel),
+                   str(self.picard_cap)]
+            self.proc = subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=sys.stderr,
+                text=True, env=env)
+            last_err = ""
+            # stream entry lines; enforce the deadline ourselves
+            import threading
+
+            def _enforcer(proc=self.proc):
+                while proc.poll() is None and not self.stopping:
+                    if self.remaining() < 30.0:
+                        proc.kill()
+                        return
+                    time.sleep(2.0)
+
+            threading.Thread(target=_enforcer, daemon=True).start()
+            for line in self.proc.stdout:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                key = None
+                if "scale_cells" in rec:
+                    key = "scale%d" % rec["scale_cells"]
+                elif "example" in rec:
+                    key = rec["example"]
+                elif rec.get("entry") == "sor":
+                    key = "sor"
+                if key is None:
+                    continue
+                if "error" in rec and _crash_class(rec["error"]):
+                    last_err = rec["error"]
+                    # leave it pending for a fresh-process retry (unless
+                    # attempts are exhausted — then record the error)
+                    if self.attempts.get(key, 3) < 3:
+                        break
+                self.sweep[key] = rec
+                self.emit()
+            self._kill_worker()
+            rc = self.proc.wait()
+            if rc != 0 and not last_err:
+                last_err = f"worker exited rc={rc}"
+            cooldown = 30.0 if last_err else 0.0
+            if not last_err:
+                # clean pass: anything still missing was skipped for
+                # budget inside the worker; don't spin on it
+                for s in self.pending():
+                    k, v = _spec_ident(s)
+                    kk = _spec_key(s)
+                    if self.attempts[kk] >= 2:
+                        self.sweep[kk] = {k: v, "skipped": "budget"}
+        self.emit(final=True)
 
 
 def main(scales, picard_cap: int = 30):
-    # The parent stays OFF the device: every device-touching step (one
-    # per scale/example + the SOR probe) runs in its own subprocess,
-    # serialized. Rationale: the tunneled runtime's worker crashes
-    # outright on some program sequences and two attached processes
-    # wedge the chip.
-    sweep = []
-    t_all = time.perf_counter()
-    for s in scales:
-        sweep.append(_run_with_retries(
-            ["--one", str(s), str(picard_cap)], "scale_cells", s))
-        if time.perf_counter() - t_all > 5 * WALL_CAP_S:
-            break
-
-    # BASELINE configs 1-3: the reference example configs, unchanged
-    for name in ("LS89", "T106"):
-        if time.perf_counter() - t_all > 5.5 * WALL_CAP_S:
-            break
-        sweep.append(_run_with_retries(
-            ["--example", name, str(picard_cap)], "example", name))
-
-    done = [r for r in sweep if "device_mnodes_per_s" in r]
-    both = [r for r in done if "host_direct_mnodes_per_s" in r]
-    head = max(done, key=lambda r: r["nodes"]) if done else {}
-    ratio_rec = max(both, key=lambda r: r["nodes"]) if both else {}
-    vs = (ratio_rec.get("device_mnodes_per_s", 0.0)
-          / ratio_rec["host_direct_mnodes_per_s"]) if both else 0.0
-
-    sor = _run_entry_subprocess(["--sor"], "timing", "chained") or {}
-
-    # derived distance to the BASELINE north star (<60 s for a 100M-node
-    # smoothing on 8 chips), projected from the measured per-chip
-    # per-iteration rate. Stated assumptions: linear scaling in nodes,
-    # iteration count flat in device count (MULTICHIP_SCALING.json
-    # measured exactly-flat FGMRES restarts over D in {1,2,4,8}), and
-    # NORTH_STAR_ITERS Picard iterations to target.
-    rate = head.get("device_mnodes_per_s", 0.0)
-    projection = {
-        "target_s": 60.0,
-        "assumes": f"{NORTH_STAR_NODES:.0e} nodes, "
-                   f"{NORTH_STAR_ITERS} Picard iters, "
-                   f"{NORTH_STAR_CHIPS} chips, iteration count flat in "
-                   "device count, rate from headline entry",
-        "projected_s": (round(NORTH_STAR_NODES * NORTH_STAR_ITERS
-                              / (rate * 1e6) / NORTH_STAR_CHIPS, 1)
-                        if rate else None),
-    }
-
-    print(json.dumps({
-        "metric": "elliptic_smoothing_throughput",
-        "value": head.get("device_mnodes_per_s", 0.0),
-        "unit": "Mnodes/s/chip",
-        "vs_baseline": round(vs, 3),
-        "detail": {
-            "headline_scale": head.get("scale_cells"),
-            "headline_nodes": head.get("nodes"),
-            "headline_run_to_target_mnodes_per_s": head.get(
-                "run_to_target_mnodes_per_s"),
-            "vs_baseline_scale": ratio_rec.get("scale_cells"),
-            "target_residual": TARGET,
-            "sweep": sweep,
-            "north_star_projection": projection,
-            "pallas_sor_mnode_sweeps_per_s": sor.get(
-                "pallas_sor_mnode_sweeps_per_s", 0.0),
-            "platform": sor.get("platform"),
-        },
-    }))
+    # Most-valuable-first order (VERDICT r4 item 1c): scale 4 (fast,
+    # known-good), then the headline 5.4M-node scale 15, then the
+    # reference examples (BASELINE configs 1-3), then the rest, then
+    # the SOR kernel probe.
+    prio = [4, 15]
+    ordered = [s for s in prio if s in scales] + \
+              [s for s in scales if s not in prio]
+    specs = [{"kind": "scale", "scale": s} for s in ordered[:2]]
+    specs += [{"kind": "example", "name": n} for n in ("LS89", "T106")]
+    specs += [{"kind": "scale", "scale": s} for s in ordered[2:]]
+    specs += [{"kind": "sor"}]
+    _Supervisor(specs, picard_cap).run()
 
 
 if __name__ == "__main__":
-    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker_main(sys.argv[2], float(sys.argv[3]),
+                     int(sys.argv[4]) if len(sys.argv) > 4 else 30)
+        sys.exit(0)
 
     if len(sys.argv) > 1 and sys.argv[1] == "--sor":
         try:
@@ -390,7 +591,7 @@ if __name__ == "__main__":
         sys.exit(0)
 
     if len(sys.argv) > 2 and sys.argv[1] in ("--one", "--example"):
-        # subprocess worker: one sweep entry as a JSON line on stdout
+        # single-entry worker (kept for tools/ probes + manual use)
         _install_warning_counter()
         cap1 = int(sys.argv[3]) if len(sys.argv) > 3 else 30
         try:
@@ -410,9 +611,7 @@ if __name__ == "__main__":
         print(json.dumps(rec))
         sys.exit(0)
 
-    # scale 15 (the known-good staged path / headline size) runs BEFORE
-    # scale 8, which historically triggers the intermittent worker crash
     scales = ([int(x) for x in sys.argv[1].replace(",", " ").split()]
-              if len(sys.argv) > 1 else [1, 2, 4, 15, 8])
+              if len(sys.argv) > 1 else [4, 15, 8, 1, 2])
     cap = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     main(scales, cap)
