@@ -191,6 +191,12 @@ def main():
     result = {
         "devices_available": len(jax.devices()),
         "platform": jax.devices()[0].platform,
+        "run_s_caveat": (
+            "run_s GROWS with D on this host: the N virtual devices "
+            "share ONE physical CPU core, so wall time measures host "
+            "contention, not scaling. The scaling claim is the "
+            "iteration counts (flat in D) and the cross-device "
+            "solution agreement, which are host-independent."),
         "sweeps": [],
     }
 

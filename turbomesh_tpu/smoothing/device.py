@@ -623,15 +623,15 @@ class DeviceSmoother:
         return device_jit(self._swap_wrap(fn))
 
     def solve_program(self):
-        """(jittable_fn, plans_pytree) for the fused linearized-solve
-        program: ``fn(plans, Xpad, cf_pad) -> (X1, stats)`` with the
-        index plans as runtime arguments (AOT compile checks)."""
-        impl = self._swap_wrap(self._solve_impl)
-
-        def fn(plans, Xpad, cf_pad):
-            return impl(plans, Xpad, cf_pad, jnp.float64(self.rtol))
-
-        return fn, self._plans_arg
+        """(jittable_fn, example_args) for the fused linearized-solve
+        program: ``fn(plans, Xpad, cf_pad, rtol) -> (X1, stats)`` with
+        the index plans AND rtol as runtime arguments — byte-identical
+        HLO to the production ``_solve_jit`` dispatch (run(), line
+        ~1400), so an AOT compile check / persistent-cache pre-warm
+        through this entry populates exactly the cache entry the
+        runtime uses. (Baking rtol in as an HLO constant made the
+        checked program differ from the one that runs — ADVICE r4.)"""
+        return self._swap_wrap(self._solve_impl), self._plans_arg
 
     # -- residual / operator --------------------------------------------------
 
@@ -1459,6 +1459,11 @@ class DeviceSmoother:
             if n > 0 and algorithm is not None:
                 self._mesh.set_flat_coords(coords)
                 algorithm.update(cf, self._mesh)
+            # the host loop always solves at the instance rtol (no
+            # adaptive forcing); record it so last_run_rtols covers
+            # every iteration actually run (bench telemetry)
+            if hasattr(self, "last_run_rtols"):
+                self.last_run_rtols.append(self.rtol)
             new = self.solve(coords, cf)
             d = new - coords
             disp = float(d[:, 0] @ d[:, 0] + d[:, 1] @ d[:, 1]) ** 2

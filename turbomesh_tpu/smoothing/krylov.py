@@ -397,7 +397,9 @@ def gauss_solve_f64(A, b):
         Ab = Ab.at[k].set(rp).at[p].set(rk)
         piv = Ab[k]
         den = piv[k]
-        den = jnp.where(den == 0.0, 1.0, den)
+        # a singular system must surface as NaN (like jnp.linalg.solve
+        # would), not as a finite-but-wrong solution
+        den = jnp.where(den == 0.0, jnp.nan, den)
         piv = piv / den
         Ab = Ab - Ab[:, k][:, None] * piv[None, :]
         return Ab.at[k].set(piv)
