@@ -36,7 +36,7 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 
-def main(scale=2, iters=40):
+def main(scale=2, iters=40, wall_ds=None):
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
 
@@ -45,6 +45,41 @@ def main(scale=2, iters=40):
     from turbomesh_tpu.smoothing.control_function import Laplace
     from turbomesh_tpu.smoothing.device import DeviceSmoother
     from turbomesh_tpu.smoothing.system import SparseSystem
+
+    if wall_ds is not None:
+        # mimic a larger scale's wall anisotropy at this scale's size
+        # (same mechanism as tools/mg_contraction.py wall_delta_s)
+        import bench as _bench
+        import turbomesh_tpu.input as _input_mod
+
+        def build_mesh(s, _ds=wall_ds, _base=os.path.dirname(
+                os.path.abspath(_bench.__file__))):
+            cfg = {
+                "template": {"O4H": {
+                    "inlet_distance": 0.05, "outlet_distance": 0.02,
+                    "wall_delta_s": _ds,
+                    "blade_clustering": {"roberts": {"alpha": 0.5,
+                                                     "beta": 1.03}},
+                    "num_cells": {
+                        "o_grid": 40 * s, "middle_i": 100 * s,
+                        "in_up_j": 30 * s, "in_down_j": 10 * s,
+                        "in_i": 10 * s, "out_up_j": 40 * s,
+                        "out_down_j": 10 * s, "out_i": 10 * s,
+                        "down_j": 40 * s, "bulge": 40 * s,
+                        "upstream_i": 20 * s, "downstream_i": 10 * s,
+                    },
+                }},
+                "smoothing": {},
+                "geometry": {
+                    "pitch": 0.08836,
+                    "profile": {"csv": {
+                        "down_csv_path": "examples/T106/T106_ps.dat",
+                        "up_csv_path": "examples/T106/T106_ss.dat",
+                    }},
+                },
+            }
+            inp = _input_mod.load(cfg, base_dir=_base)
+            return inp.template.run(inp.geometry)
 
     mesh = build_mesh(scale)
     info = classify(mesh)
@@ -82,10 +117,26 @@ def main(scale=2, iters=40):
         A_II = A[itf_pts][:, itf_pts].tocsc()
         return spla.splu(A_II)
 
-    itf_x = np.nonzero((kind == Kind.SMOOTHED)
-                       | (kind == Kind.LAPLACIAN))[0]
-    itf_y = np.nonzero((kind == Kind.SMOOTHED) | (kind == Kind.LAPLACIAN)
-                       | (kind == Kind.SLIDING))[0]
+    itf_mask_x = (kind == Kind.SMOOTHED) | (kind == Kind.LAPLACIAN)
+    itf_mask_y = itf_mask_x | (kind == Kind.SLIDING)
+    if os.environ.get("TM_EXACT_JNB", "0") == "1":
+        # ENLARGED interface block: also couple each junction's interior
+        # stencil neighbors (the junction row's ONLY couplings) exactly.
+        # Hypothesis: the junction-dominated stationary tail is the
+        # junction <-> first-interior coupling across the V/I splitting,
+        # not interface-internal coupling (which measured as a no-op).
+        jnb = np.unique(np.concatenate(
+            [lp.stencil_ids for lp in info.laplacian_points]
+            or [np.empty(0, np.int64)]))
+        jnb = jnb[kind[jnb] == Kind.INTERIOR]
+        print(f"enlarged block: +{len(jnb)} junction interior neighbors",
+              flush=True)
+        m2 = np.zeros_like(itf_mask_x)
+        m2[jnb] = True
+        itf_mask_x = itf_mask_x | m2
+        itf_mask_y = itf_mask_y | m2
+    itf_x = np.nonzero(itf_mask_x)[0]
+    itf_y = np.nonzero(itf_mask_y)[0]
     lu_x = build_scalar(sl, sl, np.ones(len(sl)), itf_x)
     lu_y = build_scalar(np.concatenate([sl, sl]), np.concatenate([sl, nb]),
                         np.concatenate([np.ones(len(sl)),
@@ -127,6 +178,11 @@ def main(scale=2, iters=40):
             z_pad[pad_v, 1] = lu_vy.solve(rf[pad_v, 1])
             return z_pad
 
+    # TM_INTERFACE=prod: the production _interface_passes defect
+    # correction in the SAME stationary frame, for a like-for-like
+    # comparison against the exact interface solve
+    prod_interface = os.environ.get("TM_INTERFACE", "exact") == "prod"
+
     def step(r):
         # V on interior+faces
         if exact_int:
@@ -136,6 +192,11 @@ def main(scale=2, iters=40):
                                              jnp.asarray(r, jnp.float32)),
                              jnp.float64)
         r1 = r - dev._jit_apply64(plans, baseF, C, z1)
+        if prod_interface:
+            z2 = jnp.asarray(
+                dev._interface_passes(ctx, jnp.asarray(r1, jnp.float32)),
+                jnp.float64)
+            return z1 + z2
         # exact interface solve on the updated residual
         z2 = exact_interface(np.asarray(r1)) * free_pad
         return z1 + jnp.asarray(z2)
@@ -159,4 +220,7 @@ def main(scale=2, iters=40):
 
 
 if __name__ == "__main__":
-    main(*[int(x) for x in sys.argv[1:3]])
+    _a = sys.argv[1:]
+    main(int(_a[0]) if len(_a) > 0 else 2,
+         int(_a[1]) if len(_a) > 1 else 40,
+         float(_a[2]) if len(_a) > 2 else None)

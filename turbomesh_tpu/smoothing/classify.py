@@ -278,6 +278,28 @@ def _find_laplacian_points(mesh, starts, conn_meta) -> list[LaplacianPoint]:
                 rhs = rhs + periodicity
         stencil = np.array(sorted(stencil), dtype=np.int64)
         result.append(LaplacianPoint(overlapping=group, stencil_ids=stencil, rhs=rhs))
+
+    # Frame-consistency check. Member offsets are the RAW periodicity of
+    # the connection each member was reached through (smooth.zig:1381-1384,
+    # direction-agnostic), so x_member - offset must land on one shared
+    # physical point — true only when periodic connections are oriented
+    # with range0 on the junction-frame side and periodicity mapping
+    # range0 -> range1 (the O4H convention, O4H.zig:503-514). The reference
+    # debug-asserts only the FIRST pair coincides (smooth.zig:1409-1424);
+    # checking every member turns a silent full-period junction shift into
+    # a hard error (tests/test_periodic_junction_analytic.py found one).
+    coords = mesh.flat_coords()
+    for lp in result:
+        pos = np.stack([coords[g] - off for g, off in lp.overlapping])
+        tol = 1e-8 * (1.0 + np.abs(pos[0]).max())
+        if np.abs(pos - pos[0]).max() > tol:
+            raise ValueError(
+                "junction group at global id %d has inconsistent member "
+                "frames (max deviation %.3e): a periodic connection at this "
+                "junction is oriented range1->range0; orient periodic "
+                "connections with range0 on the junction-frame side so "
+                "x(range0) + periodicity == x(range1)"
+                % (lp.global_id, float(np.abs(pos - pos[0]).max())))
     return result
 
 
