@@ -14,10 +14,21 @@ TPU-native pipeline for it:
   3. stacking the smoothed cuts into a 3-D mesh (extrude.from_cuts),
   4. structured-CGNS 3-D output + bit-identical read-back verification.
 
-Writes the run record to MULTICHIP_3D_r04.json (repo root) and the mesh
+Writes the run record to MULTICHIP_3D_r05.json (repo root) and the mesh
 to /tmp/t106_3d.cgns.
 
+The MIDDLE cut is driven to the 1e-10 displacement target (VERDICT r4
+item 5): its control function is initialized by the config's White law
+and then FROZEN (algorithm=None) — the 1e-10 fixed point is a property
+of a frozen control function; under live White feedback the residual
+floors at the moving fixed point (~1e-5, see bench.bench_example).
+Side cuts keep the live feedback at the capped iteration count, which
+is the production shape for stacked sections.
+
 Run: python tools/demo_3d_sharded.py [n_cuts] [picard_iters] [out.json]
+         [mesh_scale]
+mesh_scale multiplies every O4H cell count of the example config
+(nodes per cut ~ 25k * mesh_scale^2).
 """
 
 import hashlib
@@ -58,10 +69,15 @@ def main():
     n_cuts = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     picard = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     out_json = sys.argv[3] if len(sys.argv) > 3 else os.path.join(
-        REPO, "MULTICHIP_3D_r04.json")
+        REPO, "MULTICHIP_3D_r05.json")
+    mesh_scale = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     cgns_path = "/tmp/t106_3d.cgns"
 
     cfg = json.load(open(os.path.join(REPO, "examples/T106/T106.json")))
+    if mesh_scale != 1:
+        nc = cfg["template"]["O4H"]["num_cells"]
+        for key in nc:
+            nc[key] = nc[key] * mesh_scale
     spans = np.linspace(0.0, 0.05, n_cuts)
     scales = np.linspace(1.0, 0.88, n_cuts)  # radial section shrink
     D = len(jax.devices())
@@ -73,8 +89,17 @@ def main():
         "platform": jax.devices()[0].platform,
         "n_cuts": n_cuts,
         "picard_iters_per_cut": picard,
+        "mesh_scale": mesh_scale,
+        "host_contention_caveat": (
+            "run_s on the virtual CPU mesh shares ONE host core across "
+            "all D simulated devices — wall time grows with D even "
+            "though per-chip work shrinks; only iteration counts and "
+            "residuals transfer to real hardware"),
         "cuts": [],
     }
+    mid = n_cuts // 2
+    target = 1e-10
+    mid_cap = 60
 
     smoothed = []
     for k in range(n_cuts):
@@ -90,9 +115,13 @@ def main():
         setup_s = time.perf_counter() - t0
         cf = white.init(mesh)
         restarts = []
+        converge_this = k == mid
         t0 = time.perf_counter()
         coords, _cf, disp, n_done = sm.run(
-            mesh.flat_coords(), cf, picard, algorithm=white,
+            mesh.flat_coords(), cf,
+            mid_cap if converge_this else picard,
+            algorithm=None if converge_this else white,
+            target_residual=target if converge_this else None,
             restart_history=restarts)
         run_s = time.perf_counter() - t0
         mesh.set_flat_coords(coords)
@@ -103,6 +132,12 @@ def main():
             "run_s": round(run_s, 2), "picard_done": n_done,
             "fgmres_restarts_per_iter": restarts,
             "displacement_residual": float(disp),
+            "driven_to_target": converge_this,
+            "target_residual": target if converge_this else None,
+            "reached_target": bool(disp < target) if converge_this
+            else None,
+            "seconds_to_target": round(run_s, 2) if converge_this
+            and disp < target else None,
         })
         print(json.dumps(record["cuts"][-1]), flush=True)
 

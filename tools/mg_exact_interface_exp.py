@@ -160,9 +160,20 @@ def main(scale=2, iters=40, wall_ds=None):
     exact_int = os.environ.get("TM_EXACT_INTERIOR", "0") == "1"
     if exact_int:
         # exact INTERIOR+SMOOTHED solve in place of the V-cycle: the
-        # pure two-block multiplicative GS rate of the V/I splitting
-        vb_pts = np.nonzero((kind == Kind.INTERIOR)
-                            | (kind == Kind.SMOOTHED))[0]
+        # pure two-block multiplicative GS rate of the V/I splitting.
+        # TM_VSET extends the "interior" block to identify which row
+        # class owns the slow V<->I alternation mode (measured 0.994 at
+        # scale 2 / wall_ds 6.67e-4 with the plain split):
+        #   j  -> + LAPLACIAN junction rows
+        #   s  -> + SLIDING rows
+        #   js -> both
+        vmask = (kind == Kind.INTERIOR) | (kind == Kind.SMOOTHED)
+        vset = os.environ.get("TM_VSET", "")
+        if "j" in vset:
+            vmask |= kind == Kind.LAPLACIAN
+        if "s" in vset:
+            vmask |= kind == Kind.SLIDING
+        vb_pts = np.nonzero(vmask)[0]
         lu_vx = build_scalar(sl, sl, np.ones(len(sl)), vb_pts)
         lu_vy = build_scalar(np.concatenate([sl, sl]),
                              np.concatenate([sl, nb]),

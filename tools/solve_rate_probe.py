@@ -41,6 +41,12 @@ VARIANTS = {
     # per refinement pass, still under the ~100-105 s execution watchdog
     # (80 s nominal at scale 15 leaves ~25% headroom for runtime drift)
     "prog80": {"env": {"TURBOMESH_MAX_PROGRAM_SECS": "80"}},
+    # smaller Krylov basis: ~40% less basis memory for the ceiling probe
+    # (VERDICT r4 item 4 — largest single-chip scale)
+    "restart6": {"restart": 6, "max_restarts": 17},
+    # interface-elimination composition (device.MG_DEFAULTS.schur)
+    "schur": {"mg_opts": {"schur": True}},
+    "schur_ip1": {"mg_opts": {"schur": True, "interface_passes": 1}},
 }
 
 

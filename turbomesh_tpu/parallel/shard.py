@@ -28,6 +28,7 @@ sequential-only, petsc_shim.c:6).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -160,6 +161,10 @@ class ShardedSmoother:
         self.rtol, self.atol = rtol, atol
         self.restart, self.max_restarts = restart, max_restarts
         self.mg_opts = dict(DeviceSmoother.MG_DEFAULTS, **(mg_opts or {}))
+        _schur = self.mg_opts.get("schur")
+        if _schur is None:
+            _schur = os.environ.get("TURBOMESH_SCHUR", "0") == "1"
+        self._schur = bool(_schur)
 
         # sharded path keeps logical storage (transpose=False): its shard
         # plans, halo schedules and glue splits are built in the logical
@@ -719,10 +724,15 @@ class ShardedSmoother:
                 LAPLACIAN junction rows. One A apply (with its halo
                 exchange) per extra pass."""
                 z = interface32(rr)
+                dz = z
                 for _ in range(int(self.mg_opts.get(
                         "interface_passes", 2)) - 1):
-                    rr = rr - A_any(z)
-                    z = z + interface32(rr)
+                    # subtract A of the LAST increment, not the running
+                    # total (matches DeviceSmoother._interface_passes —
+                    # the running-total form double-counts for >= 3)
+                    rr = rr - A_any(dz)
+                    dz = interface32(rr)
+                    z = z + dz
                 return z
 
             # coarse-space deflation (DeviceSmoother._defl_*): columns
@@ -799,9 +809,22 @@ class ShardedSmoother:
                 else:
                     z0 = 0.0
                 smooth0 = levels[0].interior[..., None]
-                z = v_cycle_glued(levels, jnp.where(smooth0, v32, 0.0),
-                                  glue_fns=glue_fns)
-                z = jnp.where(smooth0 & free_mask, z, 0.0)
+                if self._schur:
+                    # interface elimination (DeviceSmoother._stage_Minv
+                    # schur branch): e = A_JJ^-1 v_J; feed the V-cycle
+                    # the Schur right-hand side v - A e so the interior
+                    # solve sees the interface movement in the same
+                    # application instead of alternating with it
+                    e = interface32(v32)
+                    v_eff = v32 - A_any(e)
+                    z = v_cycle_glued(levels,
+                                      jnp.where(smooth0, v_eff, 0.0),
+                                      glue_fns=glue_fns)
+                    z = jnp.where(smooth0 & free_mask, z, 0.0) + e
+                else:
+                    z = v_cycle_glued(levels, jnp.where(smooth0, v32, 0.0),
+                                      glue_fns=glue_fns)
+                    z = jnp.where(smooth0 & free_mask, z, 0.0)
                 rr = v32 - A_any(z)
                 z = z0 + z + interface_passes(rr)
                 return z.astype(V.dtype)

@@ -438,9 +438,22 @@ class DeviceSmoother:
     #: it remains an opt-in lever for slow-mode-dominated regimes.
     #: interface_passes: defect-correction iterations of the interface
     #: solve inside the preconditioner (see _interface_passes).
+    #: schur: eliminate the junction/sliding/chain unknowns from the
+    #: V-cycle's input EXACTLY (see _stage_Minv). The correction glue
+    #: already substitutes their homogeneous response (z_J = -A_JJ^-1
+    #: A_JI z_I) into every relaxation sweep, so the V-cycle's effective
+    #: operator IS the Schur complement A_II - A_IJ A_JJ^-1 A_JI; what
+    #: was missing is the inhomogeneous forcing A_IJ (A_JJ^-1 v_J) in
+    #: its right-hand side. Without it, the composition alternates
+    #: between the interior block and the interface rows, and the
+    #: measured two-block Gauss-Seidel floor of that alternation is
+    #: 0.994 (sliding) / 0.919 (junction) per application at scale-15
+    #: wall anisotropy (tools/mg_exact_interface_exp.py, TM_VSET) — no
+    #: interface-side solve can beat it (exact A_II measured identical
+    #: to the 2-pass production interface). TURBOMESH_SCHUR overrides.
     MG_DEFAULTS = dict(pre=1, post=1, coarse_iters=4,
                        pre_dirs="ij", post_dirs="ij", n_levels=None,
-                       deflation=None, interface_passes=2)
+                       deflation=None, interface_passes=2, schur=None)
 
     def __init__(self, mesh, info: BoundaryInfo,
                  rtol: float = 1e-13, atol: float = 1e-15,
@@ -541,6 +554,10 @@ class DeviceSmoother:
         from .multigrid import prep_glue_arrays
 
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
+        _schur = self.mg_opts.get("schur")
+        if _schur is None:
+            _schur = os.environ.get("TURBOMESH_SCHUR", "0") == "1"
+        self._schur = bool(_schur)
         # keep_boundaries: boundary-aligned coarse lattices. With plain
         # [::2] lattices, block axes whose lattice length goes even lose
         # their far boundary at the next level (e.g. scale 15's
@@ -572,6 +589,9 @@ class DeviceSmoother:
         self._jit_A32 = self._swap_jit(self._stage_A32)
         self._jit_Minv = self._swap_jit(self._stage_Minv)
         self._jit_Minv_finish = self._swap_jit(self._stage_Minv_finish)
+        self._jit_schur_pre = self._swap_jit(self._stage_schur_pre)
+        self._jit_Minv_finish_schur = self._swap_jit(
+            self._stage_Minv_finish_schur)
         self._jit_defl = self._swap_jit(self._defl_apply)
         self._jit_vcycle = self._swap_jit(self._stage_vcycle_interior)
         self._jit_finish = self._swap_jit(self._stage_finish)
@@ -1102,11 +1122,35 @@ class DeviceSmoother:
         space deflation solve (kills the global smooth near-null modes —
         see _defl_Wt), a multigrid V-cycle on block interiors, and the
         interface solve (chains / junction Jacobi / sliding), with a
-        residual update between each stage."""
+        residual update between each stage.
+
+        With mg_opts["schur"] the composition is instead an (approximate)
+        EXACT ELIMINATION of the interface unknowns (MG_DEFAULTS.schur):
+          e  = A_JJ^-1 v_J          (_stage_interface: exact chains +
+                                     junction diag — junction rows couple
+                                     ONLY to interior points, so their
+                                     A_JJ block is diagonal — + sliding)
+          z  = V(v - A e)           (the correction glue already makes
+                                     the V-cycle's operator the Schur
+                                     complement; this adds the Schur
+                                     right-hand side v_I - A_IJ e)
+          rr = v - A (z + e)        (near-zero at J rows by construction)
+          M^-1 v = z + e + interface_passes(rr)
+        which removes the interior<->interface block alternation whose
+        measured Gauss-Seidel floor (0.994 sliding / 0.919 junction at
+        scale-15 wall anisotropy) no interface-side improvement can beat.
+        Cost: +1 _stage_interface and +1 A32 apply per application."""
         if "dG" in ctx:
             z0, vflat = self._defl_apply(ctx, vflat)
         else:
             z0 = jnp.zeros_like(vflat)
+        if self._schur:
+            e = self._stage_interface(ctx, vflat)
+            z = self._stage_vcycle_interior(
+                ctx, vflat - self._stage_A32(ctx, e))
+            ze = z + e
+            rr = vflat - self._stage_A32(ctx, ze)
+            return z0 + ze + self._interface_passes(ctx, rr)
         z = self._stage_vcycle_interior(ctx, vflat)
         rr = vflat - self._stage_A32(ctx, z)
         return z0 + z + self._interface_passes(ctx, rr)
@@ -1158,6 +1202,20 @@ class DeviceSmoother:
         z = z_interior.reshape(-1, 2)  # already masked by the vcycle stage
         rr = vflat - self._stage_A32(ctx, z)
         return z + self._interface_passes(ctx, rr)
+
+    def _stage_schur_pre(self, ctx, vflat):
+        """Elimination prologue for the host-orchestrated schur path:
+        e = A_JJ^-1 v_J and the Schur right-hand side v - A e (see the
+        schur branch of _stage_Minv)."""
+        e = self._stage_interface(ctx, vflat)
+        return e, vflat - self._stage_A32(ctx, e)
+
+    def _stage_Minv_finish_schur(self, ctx, vflat, z_interior, e):
+        """Schur-path counterpart of _stage_Minv_finish: reconstruct the
+        eliminated interface unknowns (z + e) and defect-correct."""
+        ze = z_interior.reshape(-1, 2) + e
+        rr = vflat - self._stage_A32(ctx, ze)
+        return ze + self._interface_passes(ctx, rr)
 
     def _stage_inner(self, ctx, cf_pad, r64, inner_rtol):
         """f32 equilibrated GMRES on A32 d = r; returns f64 correction.
@@ -1218,8 +1276,16 @@ class DeviceSmoother:
             vflat = row_diag * v
             if "dG" in ctx:
                 z0, vflat = self._jit_defl(self._plans_arg, ctx, vflat)
-            z = self._jit_vcycle(self._plans_arg, ctx, vflat).reshape(B, N, M, 2)
-            out = self._jit_Minv_finish(self._plans_arg, ctx, vflat, z)
+            if self._schur:
+                e, v_eff = self._jit_schur_pre(self._plans_arg, ctx, vflat)
+                z = self._jit_vcycle(self._plans_arg, ctx,
+                                     v_eff).reshape(B, N, M, 2)
+                out = self._jit_Minv_finish_schur(self._plans_arg, ctx,
+                                                  vflat, z, e)
+            else:
+                z = self._jit_vcycle(self._plans_arg, ctx,
+                                     vflat).reshape(B, N, M, 2)
+                out = self._jit_Minv_finish(self._plans_arg, ctx, vflat, z)
             if "dG" in ctx:
                 out = out + z0.reshape(out.shape)
             return out
