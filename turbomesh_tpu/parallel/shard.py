@@ -163,7 +163,7 @@ class ShardedSmoother:
         self.mg_opts = dict(DeviceSmoother.MG_DEFAULTS, **(mg_opts or {}))
         _schur = self.mg_opts.get("schur")
         if _schur is None:
-            _schur = os.environ.get("TURBOMESH_SCHUR", "0") == "1"
+            _schur = os.environ.get("TURBOMESH_SCHUR", "1") == "1"
         self._schur = bool(_schur)
 
         # sharded path keeps logical storage (transpose=False): its shard

@@ -450,7 +450,12 @@ class DeviceSmoother:
     #: 0.994 (sliding) / 0.919 (junction) per application at scale-15
     #: wall anisotropy (tools/mg_exact_interface_exp.py, TM_VSET) — no
     #: interface-side solve can beat it (exact A_II measured identical
-    #: to the 2-pass production interface). TURBOMESH_SCHUR overrides.
+    #: to the 2-pass production interface). Default ON since round 5:
+    #: back-to-back on the chip at scale 15 the warm per-solve wall is
+    #: 138.5 s (schur) vs 148.8 s (base) with interface_passes=2 in
+    #: both, and schur+interface_passes=1 is worse (178.8 s) — the
+    #: elimination composes WITH the defect-correction passes, it does
+    #: not replace them. TURBOMESH_SCHUR=0 opts out.
     MG_DEFAULTS = dict(pre=1, post=1, coarse_iters=4,
                        pre_dirs="ij", post_dirs="ij", n_levels=None,
                        deflation=None, interface_passes=2, schur=None)
@@ -556,7 +561,7 @@ class DeviceSmoother:
         self.mg_opts = dict(self.MG_DEFAULTS, **(mg_opts or {}))
         _schur = self.mg_opts.get("schur")
         if _schur is None:
-            _schur = os.environ.get("TURBOMESH_SCHUR", "0") == "1"
+            _schur = os.environ.get("TURBOMESH_SCHUR", "1") == "1"
         self._schur = bool(_schur)
         # keep_boundaries: boundary-aligned coarse lattices. With plain
         # [::2] lattices, block axes whose lattice length goes even lose
