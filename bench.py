@@ -27,7 +27,7 @@ were both lost to the driver's bench timeout — rc 124, parsed null):
   * The full final-format artifact JSON is printed to stdout (and
     written to BENCH_PARTIAL.json) after EVERY completed entry, so a
     kill at any moment leaves the most recent cumulative line parseable.
-  * A total wall budget (TURBOMESH_BENCH_BUDGET_S, default 1020 s)
+  * A total wall budget (TURBOMESH_BENCH_BUDGET_S, default 1500 s)
     bounds the sweep: entries are ordered most-valuable-first (scale 4,
     then the 5.4M-node scale 15, then the reference examples, then the
     rest) and an entry is skipped when its cost estimate exceeds the
@@ -76,17 +76,22 @@ jax.config.update("jax_enable_x64", True)
 TARGET = 1e-10           # BASELINE.md: displacement-norm residual target
 ORACLE_MAX = 4           # largest scale the host splu oracle runs at
 WALL_CAP_S = 1500.0      # per-entry cap on the run-to-target loop
-BUDGET_S = float(os.environ.get("TURBOMESH_BENCH_BUDGET_S", "1020"))
+BUDGET_S = float(os.environ.get("TURBOMESH_BENCH_BUDGET_S", "1500"))
 NORTH_STAR_NODES = 100e6
 NORTH_STAR_CHIPS = 8
 
 # Per-entry wall estimates on the tunneled TPU (round-4/5 measurements,
 # COLD process: ~60 s device init + minutes of partial cache service +
 # the run itself). Used only for budget-fit decisions; entries that
-# share a worker process amortize the init.
+# share a worker process amortize the init. With a fully warm
+# persistent cache the executables deserialize instead of compiling,
+# but each entry still pays ~40 s Python tracing + ~40 s
+# deserialization (measured round 5: scale-4 warm-up 76.5 s served vs
+# 241-258 s cold), so the estimates stay cold-realistic — a warm run
+# simply finishes early and fits more entries.
 _EST_S = {"scale1": 200.0, "scale2": 220.0, "scale4": 280.0,
           "scale8": 600.0, "scale15": 700.0,
-          "LS89": 260.0, "T106": 280.0, "sor": 90.0}
+          "LS89": 340.0, "T106": 360.0, "sor": 90.0}
 _EST_DEFAULT = 400.0
 _AMORTIZED_DISCOUNT = 120.0   # init+attach already paid in a live worker
 
@@ -142,12 +147,15 @@ def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle):
     coords0 = mesh.flat_coords()
 
     # warm-up iteration = compile (run() keeps X in HBM; one iteration).
-    # cache_state: <5 s means the persistent compilation cache served
-    # every program (warm); a cold compile is O(30-300 s) at any scale.
+    # cache_state "served": the persistent compilation cache supplied
+    # the executables — the remaining wall is Python tracing/lowering
+    # plus executable deserialization (~40 s + ~40 s at scale 4,
+    # measured round 5); a cold XLA compile is 240-300 s at any scale
+    # on the tunneled remote compiler.
     t0 = time.perf_counter()
     dev.run(coords0, cf0, 1, algorithm=None)
     rec["compile_s"] = round(time.perf_counter() - t0, 1)
-    rec["cache_state"] = "warm" if rec["compile_s"] < 5.0 else "cold"
+    rec["cache_state"] = "served" if rec["compile_s"] < 120.0 else "cold"
 
     # timed device-resident run to the BASELINE target
     hist = []

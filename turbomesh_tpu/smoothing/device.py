@@ -57,8 +57,11 @@ def ensure_compilation_cache() -> None:
     (not HLO constants): repeat runs at the same padded shape hit the
     cache and skip compilation entirely (measured: 407 s -> sub-second).
     Cache location: $TURBOMESH_JAX_CACHE, else ~/.cache/turbomesh_jax.
-    Only programs that took >= 2 s to compile are stored, so the cache
-    stays small. TURBOMESH_JAX_CACHE=0 disables.
+    EVERY compiled program is stored (min_compile_time 0): a fresh
+    process pays ~10-20 s in sub-2s helper compiles per smoother when
+    only the big programs are cached (measured round 5), and on the
+    tunneled TPU those seconds come out of the bench's wall budget.
+    TURBOMESH_JAX_CACHE=0 disables.
 
     Called from smoother construction (not at import): importing the
     library must not mutate global JAX config for the host application,
@@ -78,7 +81,7 @@ def ensure_compilation_cache() -> None:
     try:
         os.makedirs(loc, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", loc)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # noqa: BLE001 — cache is an optimization only
         pass
 
