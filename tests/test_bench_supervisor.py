@@ -1,0 +1,95 @@
+"""Fault-injection tests for the bench supervisor (bench.py).
+
+The driver's bench run is the round's perf artifact of record; rounds
+3-5 each lost entries to a different evidence-pipeline failure (retry
+filter string mismatch, all-or-nothing emission, fixed retry count with
+a too-short cooldown poisoning cheap entries after a worker crash).
+These tests pin the supervisor's failure-handling contract WITHOUT a
+TPU, via TURBOMESH_BENCH_FAULT:
+
+  * a crash-class worker death mid-launch leaves every other entry
+    completed (the crashed spec is demoted behind the cheap ones),
+  * the crashed spec's error is recorded (not silently dropped) once
+    attempts are exhausted,
+  * the cumulative artifact line is parseable at every emission and the
+    partial-artifact path override keeps BENCH_PARTIAL.json untouched.
+
+Reference role: the solve-sweep evidence for smooth.zig:74-166.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_supervisor(tmp_path, fault, budget="2000", timeout=280):
+    env = dict(os.environ)
+    env["TURBOMESH_BENCH_BUDGET_S"] = budget
+    env["TURBOMESH_BENCH_COOLDOWN_S"] = "1"
+    env["TURBOMESH_BENCH_PARTIAL_PATH"] = str(tmp_path / "partial.json")
+    env["TURBOMESH_BENCH_FAULT"] = json.dumps(fault)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "bench.py", "4,15,8,1,2"], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout)
+    artifacts = []
+    for line in out.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("metric") == "elliptic_smoothing_run_to_target":
+            artifacts.append(rec)
+    assert artifacts, out.stdout[-2000:] + out.stderr[-2000:]
+    return artifacts
+
+
+ALL_KEYS = ("scale4", "scale15", "LS89", "T106",
+            "scale1", "scale2", "scale8", "sor")
+
+
+def _sweep_by_key(artifact):
+    got = {}
+    for rec in artifact["detail"]["sweep"]:
+        if "scale_cells" in rec:
+            got["scale%d" % rec["scale_cells"]] = rec
+        elif "example" in rec:
+            got[rec["example"]] = rec
+        elif rec.get("entry") == "sor":
+            got["sor"] = rec
+    return got
+
+
+def test_all_ok_completes_every_entry(tmp_path):
+    fault = {k: "ok" for k in ALL_KEYS}
+    final = _run_supervisor(tmp_path, fault)[-1]
+    got = _sweep_by_key(final)
+    assert set(got) == set(ALL_KEYS)
+    assert all("error" not in r and "skipped" not in r
+               for r in got.values())
+    assert final["detail"]["complete"] is True
+    assert final["value"] == 1.0
+    # the artifact-of-record path was redirected, not clobbered
+    assert (tmp_path / "partial.json").exists()
+
+
+def test_worker_crash_demoted_cheap_entries_survive(tmp_path):
+    fault = {k: "ok" for k in ALL_KEYS}
+    fault["scale8"] = "crash"  # the measured crash-prone entry
+    arts = _run_supervisor(tmp_path, fault)
+    final = arts[-1]
+    got = _sweep_by_key(final)
+    # every other entry completed despite the mid-launch worker death
+    for key in ALL_KEYS:
+        if key == "scale8":
+            continue
+        assert key in got and "error" not in got[key], (key, got.get(key))
+    # the crasher is recorded as a crash-class error, not dropped
+    assert "scale8" in got and "UNAVAILABLE" in got["scale8"]["error"]
+    # headline survives: largest completed entry that reached target
+    assert final["value"] == 1.0
+    # every cumulative emission stayed parseable (checked by parsing)
+    assert len(arts) >= len(ALL_KEYS)
