@@ -150,6 +150,7 @@ def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle):
     from turbomesh_tpu.smoothing.system import SparseSystem
 
     n = rec["nodes"]
+    rec["platform"] = jax.devices()[0].platform
     t0 = time.perf_counter()
     info = classify(mesh)
     dev = DeviceSmoother(mesh, info, rtol=1e-6, atol=1e-8,
@@ -484,7 +485,9 @@ class _Supervisor:
                 "north_star_projection": projection,
                 "pallas_sor_mnode_sweeps_per_s": sor.get(
                     "pallas_sor_mnode_sweeps_per_s", 0.0),
-                "platform": sor.get("platform"),
+                "platform": sor.get("platform") or next(
+                    (e.get("platform") for e in sweep
+                     if e.get("platform")), None),
             },
         })
         print(line, flush=True)
