@@ -141,9 +141,19 @@ def build_mesh(scale_cells: int = 4):
     return inp.template.run(inp.geometry)
 
 
-def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle):
+def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle,
+                      continue_frozen=False):
     """Shared sweep-entry body: device-resident run to TARGET (capped),
-    plus the host-direct oracle throughput when `oracle`."""
+    plus the host-direct oracle throughput when `oracle`.
+
+    continue_frozen: if the capped run leaves the displacement residual
+    above TARGET (expected with a live White feedback law, whose moving
+    fixed point floors the residual near ~1e-5), continue from the final
+    state with the control function FROZEN until the 1e-10 target — the
+    BASELINE.md primary metric is wall-clock to ||r|| < 1e-10 on the
+    LS89/T106 configs, and that fixed point is a property of a frozen
+    control function. Uses the already-compiled algorithm=None program
+    (same as the warm-up), so the continuation adds no compiles."""
     from turbomesh_tpu.smoothing.classify import classify
     from turbomesh_tpu.smoothing.control_function import Laplace
     from turbomesh_tpu.smoothing.device import DeviceSmoother
@@ -193,6 +203,28 @@ def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle):
     # the instance rtol — see DeviceSmoother.run)
     etas = sorted(set(getattr(dev, "last_run_rtols", []) or []))
     rec["linear_rtols_used"] = etas
+
+    if continue_frozen and not rec["reached_target"]:
+        nonconv2 = _count_nonconverged()
+        t0 = time.perf_counter()
+        coords, _cf, disp2, it2 = dev.run(
+            coords, _cf, 60, algorithm=None, start_iteration=iters,
+            target_residual=TARGET)
+        dt2 = time.perf_counter() - t0
+        rec["frozen_continuation"] = {
+            "what": "control function frozen at the config run's final "
+                    "state, Picard continued to the 1e-10 target "
+                    "(BASELINE.md wall-to-target metric)",
+            "picard_iters": it2,
+            "seconds": round(dt2, 2),
+            "final_displacement_residual": float(disp2),
+            "reached_target": bool(disp2 < TARGET),
+            "linear_solves_converged": _count_nonconverged() == nonconv2,
+        }
+        if disp2 < TARGET:
+            rec["seconds_to_1e-10_total"] = round(dt + dt2, 2)
+            rec["run_to_target_mnodes_per_s"] = round(
+                n / (dt + dt2) / 1e6, 4)
 
     if oracle:
         oracle_sys = SparseSystem(mesh, info)
@@ -247,13 +279,15 @@ def bench_example(name: str, picard_cap: int):
     # shape, smooth.zig:104-153). With the White feedback active the
     # displacement residual floors near the control function's moving
     # fixed point (~1e-5 on LS89) — the 1e-10 target is a property of a
-    # FROZEN control function, so reached_target=false here is expected
-    # and picard_capped records that the target was not chased.
+    # FROZEN control function, so reached_target=false on this phase is
+    # expected; the frozen_continuation phase (continue_frozen=True)
+    # then carries the run to 1e-10, which is the BASELINE.md metric.
     iters_cfg = inp.smoothing.iterations or picard_cap
     rec["config_iterations"] = iters_cfg
     rec["picard_capped"] = True
     return _timed_device_run(rec, mesh, iters_cfg, algorithm,
-                             oracle=mesh.num_points < 200_000)
+                             oracle=mesh.num_points < 200_000,
+                             continue_frozen=True)
 
 
 _NONCONV = {"count": 0}
