@@ -227,16 +227,16 @@ def _timed_device_run(rec, mesh, picard_cap, algorithm, oracle,
                 n / (dt + dt2) / 1e6, 4)
 
     if oracle:
+        # One timed solve, no warm-up: each splu call re-factorizes from
+        # scratch, so repetitions only average out noise — and at scale 4
+        # one host solve is ~105 s, so the old warm-up + 3 reps cost
+        # ~420 s of the bench budget for a second decimal place.
         oracle_sys = SparseSystem(mesh, info)
         co = mesh.flat_coords()
-        co = oracle_sys.solve(co, cf0)  # warm-up (symbolic analysis etc.)
-        co = mesh.flat_coords()
-        reps = max(1, min(3, iters))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            co = oracle_sys.solve(co, cf0)
+        co = oracle_sys.solve(co, cf0)
         rec["host_direct_mnodes_per_s"] = round(
-            n * reps / (time.perf_counter() - t0) / 1e6, 4)
+            n / (time.perf_counter() - t0) / 1e6, 4)
     return rec
 
 
@@ -450,6 +450,7 @@ class _Supervisor:
         self.specs = specs
         self.picard_cap = picard_cap
         self.t0 = time.perf_counter()
+        self.cache_bytes0 = _cache_bytes()
         self.sweep = {}          # spec_key -> record
         self.order = [_spec_key(s) for s in specs]
         self.attempts = {k: 0 for k in self.order}
@@ -516,6 +517,8 @@ class _Supervisor:
                 "complete": final and not any(
                     k not in self.sweep for k in self.order),
                 "sweep": sweep,
+                "entry_order": self.order,
+                "compile_cache_bytes_at_start": self.cache_bytes0,
                 "north_star_projection": projection,
                 "pallas_sor_mnode_sweeps_per_s": sor.get(
                     "pallas_sor_mnode_sweeps_per_s", 0.0),
@@ -666,6 +669,23 @@ class _Supervisor:
         self.emit(final=True)
 
 
+def _cache_bytes():
+    """Total size of the persistent XLA compilation cache (0 if absent).
+
+    Used only to pick the entry ORDER: with a warm cache the big
+    entries deserialize in ~40-80 s; on a fresh container (the cache
+    was observed wiped between rounds) every compile goes through the
+    remote compiler at 240-700 s, so a driver bench budget of ~11 min
+    would finish NOTHING if a big entry ran first."""
+    loc = os.environ.get("TURBOMESH_JAX_CACHE") or os.path.expanduser(
+        "~/.cache/turbomesh_jax")
+    try:
+        return sum(e.stat().st_size for e in os.scandir(loc)
+                   if e.is_file())
+    except OSError:
+        return 0
+
+
 def main(scales, picard_cap: int = 30):
     # Most-valuable-first order (VERDICT r4 item 1c): scale 4 (fast,
     # known-good), then the headline 5.4M-node scale 15, then the
@@ -673,6 +693,14 @@ def main(scales, picard_cap: int = 30):
     # first (scale 8 is the measured crash-prone entry on this runtime
     # — round-4/5 worker crashes both hit scale-8 chains — so it runs
     # after the cheap small scales), then the SOR kernel probe.
+    #
+    # COLD-CACHE INSURANCE: when the persistent compile cache is
+    # missing/empty (fresh container), scale 1 runs FIRST — its cold
+    # compile (~250-300 s) is the only device entry that can finish
+    # inside a short driver budget, guaranteeing the artifact of record
+    # a nonzero headline value even in the worst case. With a warm
+    # cache it would only delay the true headline entries, so it stays
+    # in its cheap-first slot.
     prio = [4, 15]
     ordered = [s for s in prio if s in scales] + \
               sorted((s for s in scales if s not in prio),
@@ -681,6 +709,11 @@ def main(scales, picard_cap: int = 30):
     specs += [{"kind": "example", "name": n} for n in ("LS89", "T106")]
     specs += [{"kind": "scale", "scale": s} for s in ordered[2:]]
     specs += [{"kind": "sor"}]
+    if _cache_bytes() < 50e6:
+        idx = next((i for i, s in enumerate(specs)
+                    if s["kind"] == "scale" and s["scale"] == 1), None)
+        if idx is not None:
+            specs.insert(0, specs.pop(idx))
     _Supervisor(specs, picard_cap).run()
 
 

@@ -25,13 +25,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_supervisor(tmp_path, fault, budget="2000", timeout=280):
+def _run_supervisor(tmp_path, fault, budget="2000", timeout=280,
+                    cache_dir=None):
     env = dict(os.environ)
     env["TURBOMESH_BENCH_BUDGET_S"] = budget
     env["TURBOMESH_BENCH_COOLDOWN_S"] = "1"
     env["TURBOMESH_BENCH_PARTIAL_PATH"] = str(tmp_path / "partial.json")
     env["TURBOMESH_BENCH_FAULT"] = json.dumps(fault)
     env["JAX_PLATFORMS"] = "cpu"
+    if cache_dir is not None:
+        env["TURBOMESH_JAX_CACHE"] = str(cache_dir)
     out = subprocess.run(
         [sys.executable, "bench.py", "4,15,8,1,2"], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout)
@@ -74,6 +77,29 @@ def test_all_ok_completes_every_entry(tmp_path):
     assert final["value"] == 1.0
     # the artifact-of-record path was redirected, not clobbered
     assert (tmp_path / "partial.json").exists()
+
+
+def test_cold_cache_insurance_order(tmp_path):
+    """Fresh container (empty persistent compile cache): scale 1 must
+    run FIRST — it is the only device entry whose COLD compile fits a
+    short driver budget, so it guarantees the artifact of record a
+    nonzero headline even in the worst case. With a warm cache the
+    true headline entry (scale 4) keeps the first slot."""
+    fault = {k: "ok" for k in ALL_KEYS}
+
+    cold_dir = tmp_path / "cold_cache"
+    cold_dir.mkdir()
+    order = _run_supervisor(tmp_path, fault,
+                            cache_dir=cold_dir)[-1]["detail"]["entry_order"]
+    assert order[0] == "scale1", order
+
+    warm_dir = tmp_path / "warm_cache"
+    warm_dir.mkdir()
+    with open(warm_dir / "big-executable-cache", "wb") as f:
+        f.truncate(60 * 1024 * 1024)  # sparse: apparent size is enough
+    order = _run_supervisor(tmp_path, fault,
+                            cache_dir=warm_dir)[-1]["detail"]["entry_order"]
+    assert order[0] == "scale4", order
 
 
 def test_worker_crash_demoted_cheap_entries_survive(tmp_path):
