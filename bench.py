@@ -463,6 +463,23 @@ class _Supervisor:
 
     # -- artifact ---------------------------------------------------------
     def emit(self, final=False):
+        if final:
+            # no silent caps: an entry still pending when the budget (or
+            # a SIGTERM) ends the sweep must appear in the artifact with
+            # its attempt count, not vanish (round-5 rehearsal: LS89
+            # crashed the worker repeatedly and was absent from the
+            # final sweep with no trace)
+            for s in self.specs:
+                kk = _spec_key(s)
+                if kk not in self.sweep:
+                    k, v = _spec_ident(s)
+                    self.sweep[kk] = {
+                        k: v,
+                        "skipped": ("crash-retries exhausted or budget"
+                                    if self.attempts.get(kk, 0) else
+                                    "budget"),
+                        "attempts": self.attempts.get(kk, 0),
+                    }
         sweep = [self.sweep[k] for k in self.order if k in self.sweep]
         entries = [r for r in sweep if r.get("entry") != "sor"]
         sor = next((r for r in sweep if r.get("entry") == "sor"), {})
@@ -514,8 +531,10 @@ class _Supervisor:
                 "target_residual": TARGET,
                 "budget_s": BUDGET_S,
                 "elapsed_s": round(time.perf_counter() - self.t0, 1),
-                "complete": final and not any(
-                    k not in self.sweep for k in self.order),
+                "complete": final and all(
+                    k in self.sweep and "skipped" not in self.sweep[k]
+                    and "error" not in self.sweep[k]
+                    for k in self.order),
                 "sweep": sweep,
                 "entry_order": self.order,
                 "compile_cache_bytes_at_start": self.cache_bytes0,

@@ -119,3 +119,20 @@ def test_worker_crash_demoted_cheap_entries_survive(tmp_path):
     assert final["value"] == 1.0
     # every cumulative emission stayed parseable (checked by parsing)
     assert len(arts) >= len(ALL_KEYS)
+
+
+def test_budget_expiry_records_pending_entries(tmp_path):
+    """No silent caps (VERDICT r4 weak-7 family): entries still pending
+    when the budget ends must appear in the FINAL artifact as skipped
+    records with their attempt count — in the round-5 rehearsal LS89
+    crashed the worker repeatedly and vanished from the final sweep
+    with no trace. A sub-launch budget skips everything deterministically."""
+    fault = {k: "ok" for k in ALL_KEYS}
+    final = _run_supervisor(tmp_path, fault, budget="0")[-1]
+    got = _sweep_by_key(final)
+    assert set(got) == set(ALL_KEYS), sorted(got)
+    for key in ALL_KEYS:
+        assert got[key].get("skipped") == "budget", got[key]
+        assert got[key].get("attempts") == 0, got[key]
+    assert final["detail"]["complete"] is False
+    assert final["value"] == 0.0
