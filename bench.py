@@ -94,6 +94,7 @@ _EST_S = {"scale1": 200.0, "scale2": 220.0, "scale4": 280.0,
           "LS89": 340.0, "T106": 360.0, "sor": 90.0}
 _EST_DEFAULT = 400.0
 _AMORTIZED_DISCOUNT = 120.0   # init+attach already paid in a live worker
+_HEAVY_SCALE = 10             # worker restarts after a scale >= this runs
 
 # base crash-retry cooldown (a crashed TPU worker can take minutes to
 # restart; tests shrink this to keep the fault-injection suite fast)
@@ -439,6 +440,16 @@ def _worker_main(specs_json: str, deadline_rel: float, picard_cap: int):
             k, v = _spec_ident(spec)
             rec = {k: v, "error": str(e).splitlines()[0][:200]}
         print(json.dumps(rec), flush=True)
+        # the multi-M-node staged run leaves the tunneled TPU worker
+        # unhealthy: in BOTH round-5 on-chip runs the entry dispatched
+        # right after scale 15 (LS89) died UNAVAILABLE in the same
+        # process while succeeding in a fresh one. Exit cleanly after a
+        # heavy entry so the supervisor relaunches the rest in a clean
+        # process (costs one ~60 s attach, saves crash+cooldown cycles).
+        if (spec["kind"] == "scale" and spec["scale"] >= _HEAVY_SCALE
+                and "error" not in rec and "skipped" not in rec
+                and i < len(specs) - 1):
+            return
 
 
 # ---------------------------------------------------------------------------
