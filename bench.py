@@ -752,7 +752,7 @@ def _cache_bytes():
         return 0
 
 
-def main(scales, picard_cap: int = 30):
+def build_specs(scales):
     # Most-valuable-first order (VERDICT r4 item 1c): scale 4 (fast,
     # known-good), then the headline 5.4M-node scale 15, then the
     # reference examples (BASELINE configs 1-3), then the rest cheapest
@@ -772,7 +772,15 @@ def main(scales, picard_cap: int = 30):
               sorted((s for s in scales if s not in prio),
                      key=lambda s: _EST_S.get("scale%d" % s, _EST_DEFAULT))
     specs = [{"kind": "scale", "scale": s} for s in ordered[:2]]
-    specs += [{"kind": "example", "name": n} for n in ("LS89", "T106")]
+    # LS89 starts with the fused program DISABLED: its fused dispatch
+    # has killed the tunneled TPU worker in four separate on-chip runs
+    # (three in the round-5 rehearsals, one more in rehearsal 3 even
+    # after a clean post-scale-15 worker restart), each costing a
+    # crash + cooldown + relaunch cycle that pushed LS89 out of the
+    # budget. The staged stepper is measured-clean on meshes this size;
+    # at 37.7k nodes the speed delta is negligible next to one crash.
+    specs += [{"kind": "example", "name": "LS89", "no_fused": True},
+              {"kind": "example", "name": "T106"}]
     specs += [{"kind": "scale", "scale": s} for s in ordered[2:]]
     specs += [{"kind": "sor"}]
     if _cache_bytes() < 50e6:
@@ -780,7 +788,11 @@ def main(scales, picard_cap: int = 30):
                     if s["kind"] == "scale" and s["scale"] == 1), None)
         if idx is not None:
             specs.insert(0, specs.pop(idx))
-    _Supervisor(specs, picard_cap).run()
+    return specs
+
+
+def main(scales, picard_cap: int = 30):
+    _Supervisor(build_specs(scales), picard_cap).run()
 
 
 if __name__ == "__main__":

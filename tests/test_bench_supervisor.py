@@ -126,16 +126,38 @@ def test_worker_crash_demoted_cheap_entries_survive(tmp_path):
 
 def test_crashing_spec_reruns_staged_and_completes(tmp_path):
     """Round-5 on-chip failure mode: one spec's FUSED program kills the
-    TPU worker even in fresh processes (LS89, three separate runs).
-    After the first crash the supervisor must rerun that spec with the
-    fused program disabled instead of burning crash+cooldown cycles."""
+    TPU worker even in fresh processes (measured on LS89, four separate
+    runs — that spec is now pre-escalated to no_fused in main(), so the
+    injected crasher here is T106). After the first crash the
+    supervisor must rerun that spec with the fused program disabled
+    instead of burning crash+cooldown cycles."""
     fault = {k: "ok" for k in ALL_KEYS}
-    fault["LS89"] = "crash"
+    fault["T106"] = "crash"
     final = _run_supervisor(tmp_path, fault)[-1]
     got = _sweep_by_key(final)
     assert set(got) == set(ALL_KEYS)
-    assert got["LS89"].get("reached_target") is True, got["LS89"]
+    assert got["T106"].get("reached_target") is True, got["T106"]
     assert final["detail"]["complete"] is True
+
+
+def test_ls89_starts_no_fused():
+    """LS89's fused dispatch is the measured worker-killer on the
+    tunneled runtime (4 on-chip crashes); its spec must start with the
+    fused program disabled so even the FIRST attempt cannot crash the
+    worker (the post-crash escalation still costs a crash + cooldown +
+    relaunch cycle, which pushed LS89 out of the rehearsal-3 budget)."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    specs = bench.build_specs([4, 15, 8, 1, 2])
+    ls89 = next(s for s in specs
+                if s["kind"] == "example" and s["name"] == "LS89")
+    assert ls89.get("no_fused") is True
+    t106 = next(s for s in specs
+                if s["kind"] == "example" and s["name"] == "T106")
+    assert not t106.get("no_fused")
 
 
 def test_budget_expiry_records_pending_entries(tmp_path):
